@@ -1,0 +1,144 @@
+"""Gazetteer surface-form matcher — the engine's one custom scan kernel.
+
+Semantics mirror the reference exactly:
+
+* ``word_boundary`` mode = `optimized_extractor/extraction_engine.py:42-64`:
+  case-insensitive ``\\b<escaped canonical name>\\b`` per term, canonical
+  name = title text before the first colon; one emitted span per
+  individual regex occurrence.
+* ``exact`` mode = `software_mentions_pipeline/batch_filter.py:31-56`:
+  case-SENSITIVE; single-word labels matched by membership in the
+  ``[\\w\\-]+`` token set; phrase labels by ``(?<!\\w)label(?!\\w)``.
+
+Scale design (SURVEY R4/R5/R7, J9): the naive reference plan is a
+nested-loop theta join (docs x terms regex scans). Here each text is
+scanned once: a C-speed tokenizer builds the token set, hash intersection
+against the single-word surface dictionary selects candidate terms, and a
+lowered-substring containment check prefilters phrase surfaces. Only
+surfaces that pass the prefilter run their (cached, compiled) occurrence
+regex on the original text to recover exact spans — so per-text cost is
+O(len(text) + hits), independent of gazetteer size. Both prefilters are
+exact (no recall loss): a ``\\b``-delimited match of a pure-word surface
+is necessarily a maximal ``\\w+`` token, and an IGNORECASE match of any
+surface implies lowered-substring containment (ASCII; documented limit).
+
+The matcher is a plain picklable object: built once on the driver from
+the gazetteer DataFrame and shipped to executors via
+``sparkContext.broadcast`` — the Spark-native form of the reference's
+per-worker regex cache (X2).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_WORD_RE = re.compile(r"\w+")
+_TOKEN_RE = re.compile(r"\b[\w\-]+\b")
+_PURE_WORD_RE = re.compile(r"^\w+$")
+
+
+def canonical_surface(term_name: str) -> str:
+    """Canonical surface form: title text before the first colon, stripped
+    (`extraction_engine.py:51`, `load_inputs.py:63`)."""
+    if not term_name:
+        return ""
+    return term_name.split(":")[0].strip() if ":" in term_name else term_name
+
+
+@dataclass
+class Span:
+    term_id: str
+    surface: str  # the gazetteer surface form that fired
+    text: str  # the actual matched text (original casing)
+    start: int
+    end: int
+
+
+@dataclass
+class GazetteerMatcher:
+    """Builds from [(term_id, [surface, ...])]; mode per module docstring."""
+
+    mode: str = "word_boundary"
+    # surface (lowered for word_boundary, original for exact) -> [(term_id, surface)]
+    _word_index: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
+    _phrase_index: list[tuple[str, str, str]] = field(default_factory=list)
+    # compiled-regex cache; rebuilt lazily per process, excluded from pickle
+    _regex_cache: dict[tuple[str, str], re.Pattern] = field(default_factory=dict)
+
+    @classmethod
+    def build(cls, terms: list[tuple[str, list[str]]], mode: str = "word_boundary") -> "GazetteerMatcher":
+        m = cls(mode=mode)
+        seen: set[tuple[str, str]] = set()
+        for term_id, surfaces in terms:
+            for surface in surfaces:
+                surface = (surface or "").strip()
+                if not surface or (term_id, surface) in seen:
+                    continue
+                seen.add((term_id, surface))
+                key = surface.lower() if mode == "word_boundary" else surface
+                if _PURE_WORD_RE.match(surface) or (mode == "exact" and " " not in surface):
+                    m._word_index.setdefault(key, []).append((term_id, surface))
+                else:
+                    m._phrase_index.append((key, term_id, surface))
+        return m
+
+    def __getstate__(self):
+        return {
+            "mode": self.mode,
+            "_word_index": self._word_index,
+            "_phrase_index": self._phrase_index,
+        }
+
+    def __setstate__(self, state):
+        self.mode = state["mode"]
+        self._word_index = state["_word_index"]
+        self._phrase_index = state["_phrase_index"]
+        self._regex_cache = {}
+
+    def _pattern(self, term_id: str, surface: str) -> re.Pattern:
+        key = (term_id, surface)
+        pat = self._regex_cache.get(key)
+        if pat is None:
+            if self.mode == "word_boundary":
+                pat = re.compile(rf"\b{re.escape(surface.lower())}\b", re.IGNORECASE)
+            else:
+                pat = re.compile(rf"(?<!\w){re.escape(surface)}(?!\w)")
+            self._regex_cache[key] = pat
+        return pat
+
+    def find(self, text: str) -> list[Span]:
+        """All occurrence spans of all gazetteer surfaces in ``text``."""
+        if not text:
+            return []
+        spans: list[Span] = []
+        if self.mode == "word_boundary":
+            lowered = text.lower()
+            candidates: list[tuple[str, str]] = []
+            if self._word_index:
+                tokens = set(_WORD_RE.findall(lowered))
+                for tok in tokens.intersection(self._word_index.keys()):
+                    candidates.extend(self._word_index[tok])
+            for key, term_id, surface in self._phrase_index:
+                if key in lowered:
+                    candidates.append((term_id, surface))
+            for term_id, surface in candidates:
+                for mo in self._pattern(term_id, surface).finditer(text):
+                    spans.append(Span(term_id, surface, mo.group(0), mo.start(), mo.end()))
+        else:  # exact mode: case-sensitive
+            candidates = []
+            if self._word_index:
+                tokens = set(_TOKEN_RE.findall(text))
+                for tok in tokens.intersection(self._word_index.keys()):
+                    candidates.extend(self._word_index[tok])
+            for key, term_id, surface in self._phrase_index:
+                if key in text:
+                    candidates.append((term_id, surface))
+            for term_id, surface in candidates:
+                for mo in self._pattern(term_id, surface).finditer(text):
+                    spans.append(Span(term_id, surface, mo.group(0), mo.start(), mo.end()))
+        spans.sort(key=lambda s: (s.start, s.end, s.term_id, s.surface))
+        return spans
+
+    def n_surfaces(self) -> int:
+        return sum(len(v) for v in self._word_index.values()) + len(self._phrase_index)

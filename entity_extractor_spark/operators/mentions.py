@@ -1,0 +1,140 @@
+"""Mention scan stage: transcripts -> candidate-mention table.
+
+Spark-first restatement of the reference's extraction phase
+(`optimized_extractor/extraction_engine.py:102-203` + the mp.Pool fan-out
+at :249-284): one Arrow-batched ``mapInPandas`` pass over the transcript
+table with a broadcast gazetteer matcher. No driver collect, no per-row
+Python UDF calls, no seek-based point reads — Catalyst prunes the scan to
+the four needed columns and the stage parallelizes per input partition.
+
+Per-occurrence fan-out semantics (one output row per individual match,
+`test_individual_matches.py:12-58`), ±window-word context within the turn
+text (`extraction_engine.py:69-92`), and per-(conv, term) role flags
+(`extraction_engine.py:150-184`, transposed title/abstract -> user/
+assistant) are preserved. Flags are computed relationally with a window
+max over (conv_id, term_id) rather than inside the kernel, so the scan
+stays embarrassingly parallel and the only shuffle is the flag window —
+partitioned by conv_id, which is also the table's bucket key at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.matching.context import DEFAULT_WINDOW_WORDS, WordIndex
+from entity_extractor_spark.matching.matcher import GazetteerMatcher, canonical_surface
+
+MENTION_SCHEMA = (
+    "conv_id string, turn_idx int, term_id string, term_name string, "
+    "surface string, start int, end int, context string, match_location string"
+)
+
+
+def build_matcher_from_gazetteer(
+    gazetteer: DataFrame | pd.DataFrame, include_aliases: bool = False, mode: str = "word_boundary"
+) -> tuple[GazetteerMatcher, dict[str, str]]:
+    """Collect the (small) gazetteer and build the broadcastable matcher.
+
+    The gazetteer plays the reference's driver-RAM ontology dict role
+    (`preprocessing.py:40-47`); at 100 TB scale it is still ~10^3-10^5
+    rows, so collect-to-broadcast is the right plan (SURVEY S3/J2).
+    """
+    if isinstance(gazetteer, DataFrame):
+        cols = ["term_id", "title"] + (["aliases"] if include_aliases else [])
+        pdf = gazetteer.select(*cols).toPandas()
+    else:
+        pdf = gazetteer
+    names: dict[str, str] = {}
+    terms: list[tuple[str, list[str]]] = []
+    for row in pdf.itertuples(index=False):
+        title = row.title or ""
+        names[row.term_id] = title
+        surfaces = [canonical_surface(title)]
+        if include_aliases and getattr(row, "aliases", None) is not None:
+            surfaces.extend(list(row.aliases))
+        terms.append((row.term_id, surfaces))
+    return GazetteerMatcher.build(terms, mode=mode), names
+
+
+def scan_mentions(
+    transcripts: DataFrame,
+    matcher: GazetteerMatcher,
+    names: dict[str, str],
+    window_words: int = DEFAULT_WINDOW_WORDS,
+) -> DataFrame:
+    """The raw per-occurrence scan (no flags): one row per matched span."""
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast((matcher, names))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m, nm = bc.value
+        for pdf in batches:
+            conv_ids, turn_idxs, term_ids, term_names = [], [], [], []
+            surfaces, starts, ends, contexts, locations = [], [], [], [], []
+            for conv_id, turn_idx, role, text in zip(
+                pdf["conv_id"].values, pdf["turn_idx"].values, pdf["role"].values, pdf["text"].values
+            ):
+                if not isinstance(text, str) or not text:
+                    continue
+                spans = m.find(text)
+                if not spans:
+                    continue
+                widx = WordIndex(text)
+                for s in spans:
+                    conv_ids.append(conv_id)
+                    turn_idxs.append(turn_idx)
+                    term_ids.append(s.term_id)
+                    term_names.append(nm.get(s.term_id, ""))
+                    surfaces.append(s.text)
+                    starts.append(s.start)
+                    ends.append(s.end)
+                    contexts.append(widx.window(s.start, s.end, window_words))
+                    locations.append(role)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pd.Series(conv_ids, dtype="object"),
+                    "turn_idx": pd.Series(turn_idxs, dtype="int32"),
+                    "term_id": pd.Series(term_ids, dtype="object"),
+                    "term_name": pd.Series(term_names, dtype="object"),
+                    "surface": pd.Series(surfaces, dtype="object"),
+                    "start": pd.Series(starts, dtype="int32"),
+                    "end": pd.Series(ends, dtype="int32"),
+                    "context": pd.Series(contexts, dtype="object"),
+                    "match_location": pd.Series(locations, dtype="object"),
+                }
+            )
+
+    pruned = transcripts.select("conv_id", "turn_idx", "role", "text")
+    return pruned.mapInPandas(scan, MENTION_SCHEMA)
+
+
+def extract_mentions(
+    transcripts: DataFrame,
+    gazetteer: DataFrame | pd.DataFrame,
+    include_aliases: bool = False,
+    window_words: int = DEFAULT_WINDOW_WORDS,
+) -> DataFrame:
+    """Full mention table per FIXTURES.md §3 (scan + per-(conv,term) flags)."""
+    matcher, names = build_matcher_from_gazetteer(gazetteer, include_aliases)
+    raw = scan_mentions(transcripts, matcher, names, window_words)
+    w = Window.partitionBy("conv_id", "term_id")
+    return (
+        raw.withColumn(
+            "in_user",
+            F.max(F.when(F.col("match_location") == "user", 1).otherwise(0)).over(w) == 1,
+        )
+        .withColumn(
+            "in_assistant",
+            F.max(F.when(F.col("match_location") == "assistant", 1).otherwise(0)).over(w) == 1,
+        )
+        .withColumn("match_count", F.lit(1).cast("long"))
+    )
+
+
+def dedup_mentions(mentions: DataFrame) -> DataFrame:
+    """UNIQUE(bibcode,label,context) semantics (`load_inputs.py:38`)."""
+    return mentions.dropDuplicates(["conv_id", "term_id", "context"])
