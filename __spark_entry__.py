@@ -1,38 +1,554 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship mention-extraction query on sf0.001.
+queries()     -> one callable per implemented operator (SURVEY.md §2).
+oracle_sql()  -> DuckDB-equivalent ANSI SQL per query key.
+
+Column names/types are aliased identically on both sides; float-producing
+aggregates are rounded on both sides so the driver's value-hash compare
+is engine-order independent.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Embedded gazetteer for the documents corpus (fixed vocabulary).
+# (term_id, title, regex) — regex duplicated literally into the DuckDB oracle.
+GAZ = [
+    ("g1", "Spark: a distributed query engine", r"\bspark\b"),
+    ("g2", "Vector: a columnar execution kernel", r"\bvector\b"),
+    ("g3", "Hash Join: a relational join operator", r"\bhash join\b"),
+    ("g4", "Stream: a continuous query runtime", r"\bstream\b"),
+    ("g5", "Merge Batch: a compaction step", r"\bmerge batch\b"),
+]
+EXACT_LABELS = ["spark", "customer", "dup", "window"]
+KEYWORDS = sorted(["table", "query", "stream", "vector", "hash", "window"])
+
+_GAZ_SQL_VALUES = ", ".join(f"('{tid}', '{rx}')" for tid, _, rx in GAZ)
+_EXACT_SQL_VALUES = ", ".join(f"('{v}')" for v in EXACT_LABELS)
+_KW_SQL_LIST = "[" + ", ".join(f"'{k}'" for k in KEYWORDS) + "]"
+
+
+def _docs_as_transcripts(spark: SparkSession, sf_dir: str, convs: int | None = None) -> DataFrame:
+    from entity_extractor_spark.io.sources import documents_as_transcripts, load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    if convs is None:
+        # one conversation per document (doc_id as conv key)
+        return docs.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.when(F.col("lang") == "en", "user")
+            .when(F.col("lang") == "de", "assistant")
+            .otherwise(F.col("lang"))
+            .alias("role"),
+            "text",
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    return documents_as_transcripts(docs, convs)
+
+
+def _gazetteer_matcher():
+    from entity_extractor_spark.operators.mentions import build_matcher_from_gazetteer
+    import pandas as pd
+
+    pdf = pd.DataFrame({"term_id": [g[0] for g in GAZ], "title": [g[1] for g in GAZ]})
+    return build_matcher_from_gazetteer(pdf)
+
+
+# ---------------------------------------------------------------------------
+# Queries (spark side)
+
+
+def q_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/X5/F2: gazetteer occurrence scan, per-doc per-term counts."""
+    from entity_extractor_spark.operators.mentions import scan_mentions
+
+    matcher, names = _gazetteer_matcher()
+    t = _docs_as_transcripts(spark, sf_dir)
+    raw = scan_mentions(t, matcher, names)
+    return (
+        raw.groupBy(F.col("conv_id").cast("long").alias("doc_id"), "term_id")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .orderBy("doc_id", "term_id")
+    )
+
+
+def q_mention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/A12: per-(conv,term) role flags over pseudo-conversations."""
+    from entity_extractor_spark.operators.mentions import extract_mentions
+    import pandas as pd
+
+    pdf = pd.DataFrame({"term_id": [g[0] for g in GAZ], "title": [g[1] for g in GAZ]})
+    t = _docs_as_transcripts(spark, sf_dir, convs=50)
+    m = extract_mentions(t, pdf)
+    return (
+        m.groupBy("conv_id", "term_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.max(F.col("in_user").cast("int")).cast("boolean").alias("in_user"),
+            F.max(F.col("in_assistant").cast("int")).cast("boolean").alias("in_assistant"),
+        )
+        .orderBy("conv_id", "term_id")
+    )
+
+
+def q_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: ±5-word context around the first 'spark' occurrence per doc."""
+    from entity_extractor_spark.operators.mentions import scan_mentions
+
+    matcher, names = _gazetteer_matcher()
+    t = _docs_as_transcripts(spark, sf_dir)
+    raw = scan_mentions(t, matcher, names, window_words=5).filter(F.col("term_id") == "g1")
+    w = Window.partitionBy("conv_id").orderBy("start")
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("conv_id").cast("long").alias("doc_id"), "context")
+        .orderBy("doc_id")
+    )
+
+
+def q_exact_token_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/F1: case-sensitive token-set membership per label (exact mode)."""
+    from entity_extractor_spark.io.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = spark.createDataFrame([(v,) for v in EXACT_LABELS], "label string")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.regexp_extract_all("text", F.lit(r"\b[\w\-]+\b"), 0))
+        ).alias("label"),
+    )
+    return (
+        tokens.join(F.broadcast(labels), "label")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("label")
+    )
+
+
+def q_keyword_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: sorted keyword hits per document."""
+    from entity_extractor_spark.io.sources import load_table
+    from entity_extractor_spark.operators.scoring import keyword_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    hits = keyword_hits(F.col("text"), KEYWORDS)
+    return (
+        docs.select(
+            "doc_id",
+            F.array_join(hits, ",").alias("kw_csv"),
+            F.size(hits).cast("long").alias("n_keywords"),
+        )
+        .filter(F.col("n_keywords") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def q_composite_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/F13: weighted composite score + threshold bucketing."""
+    from entity_extractor_spark.io.sources import load_table
+    from entity_extractor_spark.operators.scoring import assign_likelihood, composite_score, keyword_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    ner = F.lower(F.col("text")).contains("spark")
+    sim = (F.col("n_chars") % 97).cast("double") / 96.0
+    kw = F.size(keyword_hits(F.col("text"), KEYWORDS))
+    score = composite_score(ner, sim, kw)
+    return docs.select(
+        "doc_id", score.alias("score"), assign_likelihood(score).alias("likelihood")
+    ).orderBy("doc_id")
+
+
+def q_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: avg over per-order quantity sums."""
+    from entity_extractor_spark.io.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("s"))
+    return per_order.agg(F.round(F.avg("s"), 2).alias("avg_order_qty"))
+
+
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: group count, descending."""
+    from entity_extractor_spark.io.sources import load_table
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "o_orderstatus")
+    )
+
+
+def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/O4: top-20 part keys by lineitem count (deterministic ties)."""
+    from entity_extractor_spark.io.sources import load_table
+
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "l_partkey")
+        .limit(20)
+    )
+
+
+def q_bool_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: boolean sum."""
+    from entity_extractor_spark.io.sources import load_table
+
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias("n_discounted")
+    )
+
+
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: bulk equi join + aggregate."""
+    from entity_extractor_spark.io.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: broadcast dim join — revenue by part brand."""
+    from entity_extractor_spark.io.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("p_brand")
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: customers having orders, per nation."""
+    from entity_extractor_spark.io.sources import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: customers without orders."""
+    from entity_extractor_spark.io.sources import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_customers_no_orders")
+    )
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: adjacent-event gap via lag, averaged per event_type."""
+    from entity_extractor_spark.io.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_s", gap)
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(F.round(F.avg("gap_s"), 2).alias("avg_gap_s"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: top-3 events by value within each event_type."""
+    from entity_extractor_spark.io.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "rn", "event_id", "value")
+        .orderBy("event_type", "rn")
+    )
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union + distinct of key sets."""
+    from entity_extractor_spark.io.sources import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+def q_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/J8: customer nations with no supplier."""
+    from entity_extractor_spark.io.sources import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+def q_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: dedup by key subset."""
+    from entity_extractor_spark.io.sources import load_table
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .orderBy("user_id", "event_type")
+    )
+
+
+def q_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: percentage-of-total label distribution."""
+    from entity_extractor_spark.io.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return counts.select(
+        "event_type",
+        "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(total), 2).alias("pct"),
+    ).orderBy("event_type")
+
+
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: descriptive stats per group (mean/stddev/min/max + exact median)."""
+    from entity_extractor_spark.io.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("mean_v"),
+            F.round(F.stddev_samp("value"), 4).alias("std_v"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: gazetteer mention extraction + per-term rollup on sf0.001."""
+    from entity_extractor_spark.operators.mentions import extract_mentions
+    import pandas as pd
+
+    pdf = pd.DataFrame({"term_id": [g[0] for g in GAZ], "title": [g[1] for g in GAZ]})
+    t = _docs_as_transcripts(spark, "/root/testdata/sf0.001", convs=20)
+    m = extract_mentions(t, pdf)
+    return (
+        m.groupBy("term_id", "term_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.sum(F.col("in_user").cast("long")).alias("n_in_user_rows"),
+        )
+        .orderBy("term_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "mention_counts": q_mention_counts,
+        "mention_flags": q_mention_flags,
+        "context_window": q_context_window,
+        "exact_token_match": q_exact_token_match,
+        "keyword_hits": q_keyword_hits,
+        "composite_likelihood": q_composite_likelihood,
+        "two_level_agg": q_two_level_agg,
+        "value_counts": q_value_counts,
+        "topk_groups": q_topk_groups,
+        "bool_sum": q_bool_sum,
+        "join_agg": q_join_agg,
+        "broadcast_join": q_broadcast_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "window_lag": q_window_lag,
+        "window_topk": q_window_topk,
+        "union_distinct": q_union_distinct,
+        "except_keys": q_except_keys,
+        "dedup_keys": q_dedup_keys,
+        "percent_of_total": q_percent_of_total,
+        "stats": q_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    role_case = (
+        "case when lang = 'en' then 'user' when lang = 'de' then 'assistant' else lang end"
+    )
+    return {
+        "mention_counts": f"""
+            SELECT d.doc_id AS doc_id, g.term_id AS term_id,
+                   len(regexp_extract_all(d.text, g.rx, 0, 'i')) AS n_mentions
+            FROM documents d CROSS JOIN (VALUES {_GAZ_SQL_VALUES}) g(term_id, rx)
+            WHERE len(regexp_extract_all(d.text, g.rx, 0, 'i')) > 0
+            ORDER BY doc_id, term_id
+        """,
+        "mention_flags": f"""
+            WITH t AS (
+              SELECT 'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 6, '0') AS conv_id,
+                     {role_case} AS role, text
+              FROM documents
+            ), m AS (
+              SELECT t.conv_id, t.role, g.term_id,
+                     len(regexp_extract_all(t.text, g.rx, 0, 'i')) AS n
+              FROM t CROSS JOIN (VALUES {_GAZ_SQL_VALUES}) g(term_id, rx)
+              WHERE len(regexp_extract_all(t.text, g.rx, 0, 'i')) > 0
+            )
+            SELECT conv_id, term_id, SUM(n) AS n_mentions,
+                   bool_or(role = 'user') AS in_user,
+                   bool_or(role = 'assistant') AS in_assistant
+            FROM m GROUP BY conv_id, term_id ORDER BY conv_id, term_id
+        """,
+        "context_window": r"""
+            WITH w AS (
+              SELECT doc_id, str_split(text, ' ') AS words,
+                     list_position(str_split(lower(text), ' '), 'spark') AS p
+              FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(words[greatest(1, p - 5):least(len(words), p + 5)], ' ') AS context
+            FROM w WHERE p IS NOT NULL AND p > 0 ORDER BY doc_id
+        """,
+        "exact_token_match": f"""
+            SELECT l.label AS label, COUNT(*) AS n_docs
+            FROM documents d CROSS JOIN (VALUES {_EXACT_SQL_VALUES}) l(label)
+            WHERE list_contains(regexp_extract_all(d.text, '\\b[\\w\\-]+\\b'), l.label)
+            GROUP BY l.label ORDER BY label
+        """,
+        "keyword_hits": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     list_sort(list_filter({_KW_SQL_LIST}, k -> contains(lower(text), k))) AS hits
+              FROM documents
+            )
+            SELECT doc_id, array_to_string(hits, ',') AS kw_csv, len(hits)::BIGINT AS n_keywords
+            FROM h WHERE len(hits) > 0 ORDER BY doc_id
+        """,
+        "composite_likelihood": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     round(0.5 * (CASE WHEN contains(lower(text), 'spark') THEN 1.0 ELSE 0.0 END)
+                         + 0.3 * ((n_chars % 97) / 96.0)
+                         + 0.2 * least(len(list_filter({_KW_SQL_LIST}, k -> contains(lower(text), k))) / 3.0, 1.0),
+                       3) AS score
+              FROM documents
+            )
+            SELECT doc_id, score,
+                   CASE WHEN score >= 0.75 THEN 'very likely'
+                        WHEN score >= 0.45 THEN 'somewhat likely'
+                        ELSE 'unlikely' END AS likelihood
+            FROM s ORDER BY doc_id
+        """,
+        "two_level_agg": """
+            SELECT round(avg(s), 2) AS avg_order_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS s FROM lineitem GROUP BY l_orderkey)
+        """,
+        "value_counts": """
+            SELECT o_orderstatus, COUNT(*) AS n FROM orders
+            GROUP BY o_orderstatus ORDER BY n DESC, o_orderstatus
+        """,
+        "topk_groups": """
+            SELECT l_partkey, COUNT(*) AS n FROM lineitem
+            GROUP BY l_partkey ORDER BY n DESC, l_partkey LIMIT 20
+        """,
+        "bool_sum": """
+            SELECT sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT AS n_discounted
+            FROM lineitem
+        """,
+        "join_agg": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "broadcast_join": """
+            SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "semi_join": """
+            SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "anti_join": """
+            SELECT COUNT(*) AS n_customers_no_orders FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "window_lag": """
+            WITH g AS (
+              SELECT event_type,
+                     date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+              FROM events
+            )
+            SELECT event_type, round(avg(gap_s), 2) AS avg_gap_s, COUNT(*) AS n
+            FROM g WHERE gap_s IS NOT NULL GROUP BY event_type ORDER BY event_type
+        """,
+        "window_topk": """
+            SELECT event_type, rn, event_id, value FROM (
+              SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+              FROM events
+            ) WHERE rn <= 3 ORDER BY event_type, rn
+        """,
+        "union_distinct": """
+            SELECT DISTINCT nationkey FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL SELECT s_nationkey FROM supplier
+            ) ORDER BY nationkey
+        """,
+        "except_keys": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT SELECT s_nationkey FROM supplier
+            ORDER BY nationkey
+        """,
+        "dedup_keys": """
+            SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+        """,
+        "percent_of_total": """
+            SELECT event_type, COUNT(*) AS n,
+                   round(COUNT(*) * 100.0 / sum(COUNT(*)) OVER (), 2) AS pct
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "stats": """
+            SELECT event_type,
+                   round(avg(value), 4) AS mean_v,
+                   round(stddev_samp(value), 4) AS std_v,
+                   round(min(value), 4) AS min_v,
+                   round(max(value), 4) AS max_v,
+                   round(quantile_cont(value, 0.5), 4) AS median_v
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    }

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (BASELINE.json north_rule).
+
+The N-vs-4N-executor criterion is evidenced in this sandbox by running
+the identical extraction job at local[8] and local[32] on the same
+deterministic input and reporting turns/sec at both plus efficiency
+(T_8 / T_32) / 4 — must be >= 0.8 (the reference's own 8->32-core
+efficiency is ~0.61, optimized_extractor/README.md:137-139).
+
+Writes/updates BENCH.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SYNTH_CONVS = int(os.environ.get("SPARK_GRAFT_SYNTH_CONVS", "4000"))
+LOW, HIGH = 8, 32
+
+
+def run_at(cores: int, pdf, gaz) -> tuple[float, int]:
+    from entity_extractor_spark.operators.mentions import extract_mentions
+    from entity_extractor_spark.session import get_spark
+    from entity_extractor_spark.synth import to_spark
+
+    spark = get_spark(f"scaling-{cores}", cores=cores)
+    transcripts = (
+        to_spark(spark, pdf).repartition(cores * 4, "conv_id").localCheckpoint(eager=True)
+    )
+    # warm-up pass (JVM/codegen/Arrow), then the measured pass
+    extract_mentions(transcripts.limit(2000), gaz).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    extract_mentions(transcripts, gaz).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return dt, len(pdf)
+
+
+def main() -> None:
+    from entity_extractor_spark.synth import SynthConfig, make_gazetteer, make_transcripts
+
+    cfg = SynthConfig(seed=42, n_terms=256, n_convs=SYNTH_CONVS, hot_conv_factor=50)
+    gaz = make_gazetteer(cfg)
+    pdf = make_transcripts(cfg, gaz)
+
+    t_low, n = run_at(LOW, pdf, gaz)
+    t_high, _ = run_at(HIGH, pdf, gaz)
+    eff = (t_low / t_high) / (HIGH / LOW)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"local[{LOW}]_sec": round(t_low, 2),
+            f"local[{HIGH}]_sec": round(t_high, 2),
+            f"turns_per_sec_{LOW}": round(n / t_low, 1),
+            f"turns_per_sec_{HIGH}": round(n / t_high, 1),
+        },
+        "n_turns": n,
+        "target": 0.8,
+    }
+    print(json.dumps(result))
+
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    lines = [
+        f"## Scaling run {stamp}",
+        "",
+        f"| parallelism | wall-clock (s) | turns/sec |",
+        f"|---|---|---|",
+        f"| local[{LOW}] | {t_low:.2f} | {n / t_low:.1f} |",
+        f"| local[{HIGH}] | {t_high:.2f} | {n / t_high:.1f} |",
+        "",
+        f"Efficiency (T{LOW}/T{HIGH})/{HIGH // LOW} = **{eff:.3f}** "
+        f"(target ≥ 0.8; reference ≈ 0.61). Corpus: {n} turns, "
+        f"{cfg.n_terms}-term gazetteer, seed {cfg.seed}.",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

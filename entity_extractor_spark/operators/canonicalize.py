@@ -1,0 +1,113 @@
+"""Surface-form canonicalization via connected components over alias edges.
+
+The reference's canonicalization is implicit (colon-split canonical name,
+`extraction_engine.py:51`, plus alias lists); the north rule promotes it
+to an explicit union-find over alias edges so that case/hyphen/phrase
+variants of one entity collapse to a single canonical ``entity_id``.
+
+Algorithm: iterative min-label propagation expressed as DataFrame joins —
+each round every node adopts ``min(own label, min(neighbor labels))``.
+Convergence in O(component diameter) rounds (alias graphs are stars:
+2-3 rounds). Scale notes:
+
+* the per-round aggregation is ``groupBy(node).agg(min(label))`` — an
+  associative agg, so Catalyst's partial/final HashAggregate gives
+  map-side combine and hot nodes (an entity with millions of alias
+  occurrences) never concentrate rows on one reducer;
+* ``localCheckpoint`` every round truncates the lineage chain, keeping
+  plan size and task-deserialization cost constant across iterations
+  (the classic iterative-join failure mode at scale);
+* convergence is detected with an aggregate over the label delta, not a
+  driver-side collect of labels.
+
+Returns (node, component) where component = lexicographic min node id of
+the component — deterministic, seedless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation CC. ``edges`` is undirected (one row per edge,
+    either orientation); isolated nodes may be absent (callers union them)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # candidate labels flowing along edges: neighbor's current label
+        cand = (
+            sym.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.agg(
+            F.sum(F.coalesce(F.col("_changed").cast("int"), F.lit(0))).alias("c")
+        ).first()["c"]
+        labels = new_labels.drop("_changed")
+        if not changed:
+            break
+    return labels.withColumnRenamed("label", "component")
+
+
+def alias_edges(gazetteer: DataFrame) -> DataFrame:
+    """Gazetteer -> undirected alias edges on normalized surface strings.
+
+    Nodes are lowercase surface forms; every alias links to the term's
+    canonical (pre-colon) name, and the term_id links to its canonical so
+    term-level lookups land in the same component.
+    """
+    # canonical = pre-colon trim when a colon exists, whole title otherwise
+    # (exact extraction_engine.py:51 semantics), as pure columns — no UDF
+    canonical = F.when(
+        F.col("title").contains(":"), F.trim(F.split(F.col("title"), ":").getItem(0))
+    ).otherwise(F.col("title"))
+    base = gazetteer.select(
+        F.col("term_id"),
+        F.lower(canonical).alias("canonical"),
+        F.col("aliases"),
+    )
+    via_alias = (
+        base.select(F.col("canonical").alias("src"), F.explode_outer("aliases").alias("raw"))
+        .select("src", F.lower(F.trim(F.col("raw"))).alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != ""))
+    )
+    via_term = base.select(
+        F.concat(F.lit("term:"), F.col("term_id")).alias("src"), F.col("canonical").alias("dst")
+    )
+    return via_alias.unionByName(via_term)
+
+
+def canonical_entities(gazetteer: DataFrame) -> DataFrame:
+    """(term_id, entity_id): every gazetteer term mapped to the canonical
+    component representative of its alias cluster."""
+    comp = connected_components(alias_edges(gazetteer))
+    return (
+        comp.filter(F.col("node").startswith("term:"))
+        .select(
+            F.expr("substring(node, 6)").alias("term_id"),
+            F.col("component").alias("entity_id"),
+        )
+    )

@@ -1,0 +1,157 @@
+"""Candidate scoring + likelihood classification.
+
+Carries the reference's multi-signal scoring semantics over verbatim,
+with the north-rule substitution of deterministic char-ngram similarity
+for neural embeddings:
+
+* keyword heuristic — sorted keyword substring hits in lowered text
+  (`score_filtered_contexts.py:79-80`, keyword list
+  `streamlit_dashboard/config.py:36-40`);
+* similarity — cosine over hashed char-3-gram count vectors of
+  (mention context) vs (gazetteer description), replacing
+  sentence-transformer cosine (`score_filtered_contexts.py:59-60,101-105`);
+* ner signal — deterministic stand-in for the NER ensemble
+  (`score_filtered_contexts.py:63-77`): the context names a software-ish
+  category word AND the matched surface is not all-lowercase;
+* composite — ``round(0.5*ner + 0.3*sim + 0.2*min(kw/3, 1), 3)``
+  (`score_likelihoods_and_filter.py:11-31`);
+* likelihood — threshold buckets 0.75/0.45 (`:17-21,34-38`) and the
+  conjunctive variant (`assign_likelihood_labels.py:10-27`).
+
+Everything except the similarity kernel is pure column arithmetic —
+whole-stage-codegen'd, shuffle-free, scale-independent. The similarity
+kernel is an Arrow-batched pandas UDF over numpy (no per-row Python
+serialization).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+HEURISTIC_KEYWORDS = [
+    "software", "tool", "package", "library", "framework",
+    "code", "algorithm", "model", "program", "application",
+    "system", "platform", "suite", "toolkit", "engine",
+]
+
+WEIGHT_NER = 0.5
+WEIGHT_SIM = 0.3
+WEIGHT_KEYWORDS = 0.2
+VERY_LIKELY_T = 0.75
+SOMEWHAT_LIKELY_T = 0.45
+
+NGRAM_DIM = 1024
+NGRAM_N = 3
+
+_NER_CATEGORY_RE = r"(?i)\b(software|tool|pipeline|package|model|algorithm|code)\b"
+
+
+def keyword_hits(text: Column, keywords: list[str] | None = None) -> Column:
+    """Sorted keyword substring hits (F8). Array stays in codegen."""
+    kws = sorted(keywords or HEURISTIC_KEYWORDS)
+    arr = F.array(*[F.lit(k) for k in kws])
+    lowered = F.lower(text)
+    return F.filter(arr, lambda kw: lowered.contains(kw))
+
+
+def ner_signal(context: Column, surface: Column) -> Column:
+    """Deterministic NER stand-in (north rule: hermetic, no model)."""
+    return context.rlike(_NER_CATEGORY_RE) & (surface != F.lower(surface))
+
+
+def _ngram_matrix(texts: np.ndarray, dim: int = NGRAM_DIM) -> np.ndarray:
+    """Hashed char-3-gram count vectors, one row per text (vectorized)."""
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, s in enumerate(texts):
+        if not isinstance(s, str):
+            continue
+        b = np.frombuffer(s.lower().encode("utf-8"), dtype=np.uint8)
+        if b.size < NGRAM_N:
+            continue
+        codes = (
+            (b[: -NGRAM_N + 1].astype(np.int64) << 16)
+            | (b[1 : b.size - NGRAM_N + 2].astype(np.int64) << 8)
+            | b[NGRAM_N - 1 :].astype(np.int64)
+        )
+        np.add.at(out[i], codes % dim, 1.0)
+    return out
+
+
+@pandas_udf(DoubleType())
+def charngram_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Cosine similarity of hashed char-ngram vectors (Arrow-batched)."""
+    va = _ngram_matrix(a.to_numpy())
+    vb = _ngram_matrix(b.to_numpy())
+    dots = np.einsum("ij,ij->i", va, vb)
+    norms = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(norms > 0, dots / norms, 0.0)
+    return pd.Series(sims)
+
+
+def composite_score(ner: Column, similarity: Column, n_keywords: Column) -> Column:
+    """F12: round(0.5*ner + 0.3*sim + 0.2*min(kw/3,1), 3); null sim -> 0."""
+    return F.round(
+        F.lit(WEIGHT_NER) * ner.cast("double")
+        + F.lit(WEIGHT_SIM) * F.coalesce(similarity, F.lit(0.0))
+        + F.lit(WEIGHT_KEYWORDS) * F.least(n_keywords.cast("double") / 3.0, F.lit(1.0)),
+        3,
+    )
+
+
+def assign_likelihood(score: Column) -> Column:
+    """F13 threshold buckets (`score_likelihoods_and_filter.py:17-21,34-38`)."""
+    return (
+        F.when(score >= VERY_LIKELY_T, "very likely")
+        .when(score >= SOMEWHAT_LIKELY_T, "somewhat likely")
+        .otherwise("unlikely")
+    )
+
+
+def determine_likelihood(similarity: Column, ner: Column, n_keywords: Column) -> Column:
+    """Conjunctive variant (`assign_likelihood_labels.py:18-27`):
+    sim null -> unlikely; sim>=0.6 and (ner or kw) -> very likely;
+    sim>=0.3 -> somewhat likely; else unlikely."""
+    return (
+        F.when(similarity.isNull(), "unlikely")
+        .when((similarity >= 0.6) & (ner | (n_keywords > 0)), "very likely")
+        .when(similarity >= 0.3, "somewhat likely")
+        .otherwise("unlikely")
+    )
+
+
+def score_candidates(mentions: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """mentions x broadcast(gazetteer descriptions) -> scored_candidates
+    (FIXTURES.md §4). One broadcast join, no shuffle of the fact side."""
+    registry = F.broadcast(gazetteer.select("term_id", "description"))
+    joined = mentions.join(registry, "term_id", "left")
+    kw = keyword_hits(F.col("context"))
+    scored = (
+        joined.withColumn("heuristic_keywords", kw)
+        .withColumn("ner_signal", ner_signal(F.col("context"), F.col("surface")))
+        .withColumn("similarity", charngram_cosine(F.col("context"), F.col("description")))
+    )
+    return (
+        scored.withColumn(
+            "composite_score",
+            composite_score(F.col("ner_signal"), F.col("similarity"), F.size("heuristic_keywords")),
+        )
+        .withColumn("likelihood", assign_likelihood(F.col("composite_score")))
+        .drop("description")
+    )
+
+
+LIKELIHOOD_RANKS = {"unlikely": 0, "somewhat likely": 1, "very likely": 2}
+
+
+def filter_by_likelihood(df: DataFrame, min_level: str) -> Column | DataFrame:
+    """Ordinal-category filter (P4, `core_pipeline/likelihood.py:69-94`)."""
+    rank = F.when(F.col("likelihood") == "very likely", 2).when(
+        F.col("likelihood") == "somewhat likely", 1
+    ).otherwise(0)
+    return df.filter(rank >= LIKELIHOOD_RANKS[min_level])

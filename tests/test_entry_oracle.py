@@ -1,0 +1,76 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet,
+compare row count + column names + (order-insensitive) values."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from entity_extractor_spark.io.sources import TPCH_TABLES
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _compare(a: pd.DataFrame, b: pd.DataFrame, name: str):
+    assert sorted(a.columns) == sorted(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+    assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
+    a, b = _canon(a), _canon(b)
+    for c in a.columns:
+        av, bv = a[c].tolist(), b[c].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float) or isinstance(y, float):
+                fx = float("nan") if x is None else float(x)
+                fy = float("nan") if y is None else float(y)
+                if math.isnan(fx) and math.isnan(fy):
+                    continue
+                assert fx == fy, f"{name}.{c}[{i}]: {x!r} != {y!r} (float EXACT mismatch)"
+            else:
+                assert str(x) == str(y), f"{name}.{c}[{i}]: {x!r} != {y!r}"
+
+
+def test_all_queries_match_oracle(spark, duck):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    missing = set(qs) - set(oracles)
+    failures = []
+    for name, fn in qs.items():
+        if name not in oracles:
+            continue
+        try:
+            got = fn(spark, SF_DIR).toPandas()
+            exp = duck.execute(oracles[name]).df()
+            _compare(got, exp, name)
+        except AssertionError as e:
+            failures.append(str(e))
+    assert not failures, "\n".join(failures)
+    assert not missing, f"queries without oracle entries (rows-only checks): {missing}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert {"term_id", "term_name", "n_mentions", "n_convs"} <= set(df.columns)

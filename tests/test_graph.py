@@ -1,0 +1,111 @@
+"""Canonicalization CC, predicate triples, and skew-safe graph builds."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.operators.canonicalize import (
+    alias_edges,
+    canonical_entities,
+    connected_components,
+)
+from entity_extractor_spark.operators.graph import build_edges, build_nodes, salted_count
+from entity_extractor_spark.operators.mentions import extract_mentions
+from entity_extractor_spark.operators.predicates import (
+    all_triples,
+    co_mention_triples,
+    replies_to_triples,
+    uses_tool_triples,
+)
+from entity_extractor_spark.synth import SynthConfig, make_gazetteer, make_transcripts, to_spark
+
+
+def test_connected_components_chain_and_star(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y"), ("x", "z"), ("q", "q")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x", "z": "x", "q": "q"}
+
+
+def test_canonical_entities_groups_variants(spark):
+    gaz = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "term_id": ["t1", "t2", "t3"],
+                "title": ["Zorplex: a tool", "ZORPLEX-2: same family", "Quantix: other"],
+                "aliases": [["zorplex", "ZORPLEX"], ["Zorplex"], ["QUANTIX"]],
+            }
+        )
+    )
+    m = {r["term_id"]: r["entity_id"] for r in canonical_entities(gaz).collect()}
+    # t1 and t2 share the alias surface "zorplex" -> same component; t3 separate
+    assert m["t1"] == m["t2"]
+    assert m["t3"] != m["t1"]
+
+
+def test_predicate_triples(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4,
+            "turn_idx": pd.array([0, 1, 2, 3], dtype="int32"),
+            "role": ["user", "assistant", "tool", "assistant"],
+            "text": ["hi", "let me check", "result", "done"],
+            "tool": [None, None, "search", None],
+            "ts": pd.to_datetime(["2026-01-01"] * 4),
+        }
+    )
+    t = to_spark(spark, pdf)
+    uses = uses_tool_triples(t).collect()
+    assert len(uses) == 1 and uses[0]["subj"] == "c1:1" and uses[0]["obj"] == "tool:search"
+    replies = {(r["subj"], r["obj"]) for r in replies_to_triples(t).collect()}
+    assert replies == {("c1:1", "c1:0")}
+
+
+def test_co_mentions_and_all_triples(spark):
+    cfg = SynthConfig(seed=11, n_terms=10, n_convs=15, hot_conv_factor=5)
+    gaz = make_gazetteer(cfg)
+    tr = to_spark(spark, make_transcripts(cfg, gaz))
+    mentions = extract_mentions(tr, gaz)
+    gaz_df = to_spark(spark, gaz, gaz=True)
+    emap = canonical_entities(gaz_df)
+    triples = all_triples(tr, mentions, emap)
+    preds = {r["pred"] for r in triples.select("pred").distinct().collect()}
+    assert {"mentions", "uses_tool", "replies_to", "co_mentions"} <= preds
+    co = co_mention_triples(mentions, emap)
+    bad = co.filter(F.col("subj") >= F.col("obj")).count()
+    assert bad == 0  # unordered pair canonical form
+
+
+def test_salted_count_equals_plain_groupby(spark):
+    # skewed: one hot key with 5000 rows, 50 cold keys
+    rows = [("hot",)] * 5000 + [(f"k{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {r["k"]: r["weight"] for r in salted_count(df, ["k"]).collect()}
+    exp = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    assert got == exp
+
+
+def test_build_nodes_and_edges(spark):
+    cfg = SynthConfig(seed=13, n_terms=8, n_convs=10, hot_conv_factor=3)
+    gaz = make_gazetteer(cfg)
+    tr = to_spark(spark, make_transcripts(cfg, gaz))
+    mentions = extract_mentions(tr, gaz)
+    triples = all_triples(tr, mentions)
+    edges = build_edges(triples)
+    nodes = build_nodes(triples)
+    assert edges.filter(F.col("weight") < 1).count() == 0
+    kinds = {r["kind"] for r in nodes.select("kind").distinct().collect()}
+    assert "turn" in kinds and "entity" in kinds
+    # every edge endpoint is a node
+    n_ids = nodes.select(F.col("node_id").alias("x"))
+    dangling = (
+        edges.select(F.col("src").alias("x"))
+        .union(edges.select(F.col("dst").alias("x")))
+        .distinct()
+        .join(n_ids, "x", "left_anti")
+        .count()
+    )
+    assert dangling == 0
