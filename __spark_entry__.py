@@ -379,7 +379,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from entity_extractor_spark.contract import merged
+
+    extra_queries, _ = merged()
     return {
+        **extra_queries,
         "mention_counts": q_mention_counts,
         "mention_flags": q_mention_flags,
         "context_window": q_context_window,
@@ -405,6 +409,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from entity_extractor_spark.contract import merged
+
+    _, extra_oracles = merged()
+    base = _core_oracle_sql()
+    return {**extra_oracles, **base}
+
+
+def _core_oracle_sql() -> dict[str, str]:
     role_case = (
         "case when lang = 'en' then 'user' when lang = 'de' then 'assistant' else lang end"
     )

@@ -1,0 +1,360 @@
+"""Training-data curation queries: dedup, similarity search, text
+analysis, multimodal metadata — each with an exactly-mirrored DuckDB
+oracle over the driver's documents/embeddings parquet."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.functions import hashing as H
+from entity_extractor_spark.functions import text as T
+from entity_extractor_spark.operators import dedup as D
+from entity_extractor_spark.operators import simsearch as S
+from entity_extractor_spark.operators import textstats as X
+
+EMB_DIM = 64
+ANN_QUERY_MAX_ID = 10
+ANN_K = 5
+EMB_DUP_T = 0.4
+LSH_JACCARD_T = 0.5
+NGRAM_JACCARD_T = 0.2
+SIMHASH_MAX_HAMMING = 3
+
+_TOKS = f"list_distinct({T.tokenize_sql('text')})"
+_HM = f"({H.token_hash_sql('t')} % {H.MINHASH_PRIME})"
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from entity_extractor_spark.io.sources import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        _load(spark, sf_dir, "documents"), threshold=LSH_JACCARD_T
+    ).orderBy("i", "j")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), n=3, threshold=NGRAM_JACCARD_T
+    ).orderBy("i", "j")
+
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(
+        _load(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+    ).orderBy("i", "j")
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("i") < F.col("j"))
+        .select("i", "j", F.round(S.cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= EMB_DUP_T)
+        .orderBy("i", "j")
+    )
+
+
+# --------------------------------------------------------------------------- similarity search
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return S.brute_force_topk(e, q, k=ANN_K).orderBy("query_id", "rank")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return S.lsh_topk(e, q, dim=EMB_DIM, k=ANN_K).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------- text analysis
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", X.language_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    q = X.quality_score(F.col("text"))
+    return d.select(
+        "doc_id", q.alias("quality"), X.quality_bucket(q).alias("bucket")
+    ).orderBy("doc_id")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    tc = X.token_counts(F.col("text"))
+    return d.select(
+        "doc_id", tc["n_ws_tokens"].alias("n_ws_tokens"),
+        tc["n_bpe_tokens"].alias("n_bpe_tokens"), tc["chars_per_bpe"].alias("chars_per_bpe"),
+    ).orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", *X.doc_fingerprint(F.col("text"))).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------- multimodal
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extractor_spark.operators.multimodal import attach_payloads
+
+    assets = attach_payloads(_load(spark, sf_dir, "documents"))
+    return assets.select("asset_id", "kind", "n_bytes", "magic_hex").orderBy("asset_id")
+
+
+def q_multimodal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extractor_spark.operators.multimodal import asset_metadata_report, attach_payloads
+
+    return asset_metadata_report(attach_payloads(_load(spark, sf_dir, "documents")))
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_signature": q_minhash_signature,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_dups": q_embedding_dups,
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "lang_id_counts": q_lang_id_counts,
+    "quality_scores": q_quality_scores,
+    "token_stats": q_token_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_report": q_multimodal_report,
+}
+
+
+# --------------------------------------------------------------------------- oracle SQL
+
+
+def _minhash_sig_cte() -> str:
+    mins = ", ".join(
+        f"min({H.minhash_perm_sql(i, 'hm')}) AS s{i}" for i in range(H.MINHASH_K)
+    )
+    return f"""
+        tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+        ), h AS (
+          SELECT doc_id, {_HM} AS hm FROM tok
+        ), sig AS (
+          SELECT doc_id, {mins} FROM h GROUP BY doc_id
+        )"""
+
+
+def _simhash_cte() -> str:
+    sums = ", ".join(
+        f"sum({H.simhash_bit_weight_sql('hm', b)}) AS b{b}" for b in range(H.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(H.SIMHASH_BITS)
+    )
+    return f"""
+        tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+        ), h AS (
+          SELECT doc_id, {_HM} AS hm FROM tok
+        ), sums AS (
+          SELECT doc_id, {sums} FROM h GROUP BY doc_id
+        ), sh AS (
+          SELECT doc_id, {fp} AS simhash FROM sums
+        )"""
+
+
+_JACCARD_TAIL = """
+        sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        inter AS (
+          SELECT c.i, c.j, count(*) AS inter
+          FROM cand c
+          JOIN tok ta ON ta.doc_id = c.i
+          JOIN tok tb ON tb.doc_id = c.j AND tb.t = ta.t
+          GROUP BY c.i, c.j
+        ),
+        jac AS (
+          SELECT i, j, round(inter * 1.0 / (si.sz + sj.sz - inter), 6) AS jaccard
+          FROM inter
+          JOIN sz si ON si.doc_id = i
+          JOIN sz sj ON sj.doc_id = j
+        )"""
+
+
+def _band_sql() -> str:
+    parts = []
+    for b in range(H.LSH_BANDS):
+        cols = " || ':' || ".join(
+            f"s{b * H.LSH_ROWS + r}::VARCHAR" for r in range(H.LSH_ROWS)
+        )
+        parts.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS h FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+def _ann_scored_cte(bucketed: bool) -> str:
+    cos = S.cosine_sql("q.qv", "e.embedding")
+    if bucketed:
+        bexpr = S.lsh_bucket_sql("embedding", EMB_DIM)
+        return f"""
+        b AS (SELECT vec_id, embedding, {bexpr} AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < {ANN_QUERY_MAX_ID}),
+        s AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id, round({S.cosine_sql('q.qv', 'e.embedding')}, 6) AS cos
+          FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+        )"""
+    return f"""
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {ANN_QUERY_MAX_ID}),
+        s AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id, round({cos}, 6) AS cos
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+        )"""
+
+
+_ANN_TAIL = f"""
+        SELECT query_id, rank, neighbor_id, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s
+        ) WHERE rank <= {ANN_K} ORDER BY query_id, rank"""
+
+
+def _oracles() -> dict[str, str]:
+    norm = T.normalize_text_sql("text")
+    shingles3 = f"list_distinct({T.word_shingles_sql(T.tokenize_sql('text'), 3)})"
+    tc = X.token_counts_sql("text")
+    fp = X.doc_fingerprint_sql("text")
+    kind = (
+        "CASE lang WHEN 'en' THEN 'image' WHEN 'de' THEN 'audio' WHEN 'es' THEN 'video' "
+        "WHEN 'fr' THEN 'image' WHEN 'zh' THEN 'audio' ELSE 'binary' END"
+    )
+    return {
+        "dedup_exact": f"""
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5({norm})) AS canonical_id,
+                   doc_id <> min(doc_id) OVER (PARTITION BY md5({norm})) AS is_dup
+            FROM documents ORDER BY doc_id
+        """,
+        "minhash_signature": f"""
+            WITH {_minhash_sig_cte()}
+            SELECT * FROM sig ORDER BY doc_id
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {_minhash_sig_cte()},
+            band AS ({_band_sql()}),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              FROM band a JOIN band b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+            ),
+            {_JACCARD_TAIL}
+            SELECT i, j, jaccard FROM jac WHERE jaccard >= {LSH_JACCARD_T} ORDER BY i, j
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({shingles3}) AS t FROM documents
+            ),
+            cand AS (
+              SELECT DISTINCT ta.doc_id AS i, tb.doc_id AS j
+              FROM tok ta JOIN tok tb ON ta.t = tb.t AND ta.doc_id < tb.doc_id
+            ),
+            {_JACCARD_TAIL}
+            SELECT i, j, jaccard FROM jac WHERE jaccard >= {NGRAM_JACCARD_T} ORDER BY i, j
+        """,
+        "simhash_fingerprint": f"""
+            WITH {_simhash_cte()}
+            SELECT doc_id, simhash FROM sh ORDER BY doc_id
+        """,
+        "simhash_pairs": f"""
+            WITH {_simhash_cte()},
+            band AS (
+              SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS v
+              FROM sh, (SELECT unnest([0,1,2,3]) AS b)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+                     bit_count(xor(a.simhash, b.simhash)) AS hamming
+              FROM band a JOIN band b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+            )
+            SELECT i, j, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING} ORDER BY i, j
+        """,
+        "embedding_dups": f"""
+            WITH p AS (
+              SELECT a.vec_id AS i, b.vec_id AS j,
+                     round({S.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT i, j, cos FROM p WHERE cos >= {EMB_DUP_T} ORDER BY i, j
+        """,
+        "ann_brute_topk": f"WITH {_ann_scored_cte(False)} {_ANN_TAIL}",
+        "ann_lsh_topk": f"WITH {_ann_scored_cte(True)} {_ANN_TAIL}",
+        "lang_id_counts": f"""
+            SELECT lang, {X.language_id_sql('text')} AS pred_lang, count(*) AS n_docs
+            FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang
+        """,
+        "quality_scores": f"""
+            WITH s AS (SELECT doc_id, {X.quality_score_sql('text')} AS quality FROM documents)
+            SELECT doc_id, quality,
+                   CASE WHEN quality >= 0.75 THEN 'high'
+                        WHEN quality >= 0.5 THEN 'medium' ELSE 'low' END AS bucket
+            FROM s ORDER BY doc_id
+        """,
+        "token_stats": f"""
+            SELECT doc_id, {tc['n_ws_tokens']} AS n_ws_tokens,
+                   {tc['n_bpe_tokens']} AS n_bpe_tokens,
+                   {tc['chars_per_bpe']} AS chars_per_bpe
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, {', '.join(fp)} FROM documents ORDER BY doc_id
+        """,
+        "multimodal_meta": f"""
+            SELECT doc_id AS asset_id, {kind} AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   substring(hex(encode(text)), 1, 8) AS magic_hex
+            FROM documents ORDER BY asset_id
+        """,
+        "multimodal_report": f"""
+            WITH a AS (
+              SELECT {kind} AS kind, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+              FROM documents
+            )
+            SELECT kind, count(*) AS n_assets, sum(n_bytes) AS total_bytes,
+                   round(avg(n_bytes), 2) AS mean_bytes
+            FROM a GROUP BY kind ORDER BY kind
+        """,
+    }
+
+
+ORACLES = _oracles()

@@ -1,0 +1,247 @@
+"""Deduplication suite for training-data pipelines over the documents table.
+
+The reference's only dedup is exact — SQLite ``UNIQUE(bibcode,label,
+context)`` (`software_mentions_pipeline/load_inputs.py:27-40`) and pandas
+``drop_duplicates`` (`core_pipeline/batch_filter.py:166-170`). A 100 TB
+corpus pipeline also needs *near*-dup detection, so this module adds the
+standard scale path: MinHash+LSH (Broder), SimHash (Charikar), and exact
+n-gram Jaccard as the verification/oracle step. All of it is
+shuffle-disciplined DataFrame code:
+
+* exact: one hash-partitioned window over ``md5(normalized_text)`` — a
+  single shuffle on a uniformly distributed key;
+* minhash: ``explode(distinct tokens)`` -> ``groupBy(doc)`` with K ``min``
+  aggregates — partial aggregation map-side-combines, so the shuffle
+  carries K int64s per (doc, reducer), not the token stream;
+* LSH banding: candidate pairs come from an equi self-join on
+  ``(band_idx, band_hash)`` — never an all-pairs cross join. Hot buckets
+  (a boilerplate-heavy corpus) are bounded by ``max_bucket`` via a count
+  filter before the join (the skew guard the 10^12-row case needs);
+* verification: exact Jaccard only on the LSH candidates.
+
+Every numeric here is cross-engine deterministic (see functions/hashing),
+so each operator has an exact DuckDB oracle in the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.functions import hashing as H
+from entity_extractor_spark.functions import text as T
+
+
+def normalized_key(text: Column) -> Column:
+    """Exact-dedup key: md5 of whitespace/case-normalized text."""
+    return F.md5(T.normalize_text(text))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, canonical_id, is_dup): canonical = min id per normalized-text
+    group. One shuffle on the md5 key; survivors = ``is_dup = false``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(normalized_key(F.col(text_col)))
+    return docs.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canonical_id"),
+    ).withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+
+
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) — distinct lowered tokens, exploded."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(T.tokenize(F.col(text_col)))).alias("token"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = H.MINHASH_K
+) -> DataFrame:
+    """(id, s0..s{k-1}) minhash signature over distinct tokens."""
+    tok = _doc_tokens(docs, id_col, text_col).withColumn(
+        "hm", H.reduced_hash(F.col("token"))
+    )
+    aggs = [F.min(H.minhash_perm(i, F.col("hm"))).alias(f"s{i}") for i in range(k)]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def _band_table(sigs: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, h) — band hash = md5 of the concatenated band rows."""
+    bands = []
+    for b in range(H.LSH_BANDS):
+        cols = [F.col(f"s{b * H.LSH_ROWS + r}") for r in range(H.LSH_ROWS)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(":", *cols)).alias("h"))
+        )
+    return sigs.select(id_col, F.explode(F.array(*bands)).alias("bh")).select(
+        id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-dup pairs (i < j) from LSH banding, verified with exact
+    distinct-token Jaccard >= ``threshold``.
+
+    ``max_bucket`` drops degenerate buckets (boilerplate) *before* the
+    self-join — at web scale a single hot bucket would otherwise produce
+    O(bucket^2) candidate rows on one reducer.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col)
+    bt = _band_table(sigs, id_col)
+    from pyspark.sql import Window
+
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band", "h"))
+    bt = bt.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket).drop("_n")
+    a = bt.select(F.col(id_col).alias("i"), "band", "h")
+    b = bt.select(F.col(id_col).alias("j"), "band", "h")
+    cand = (
+        a.join(b, ["band", "h"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+    jac = jaccard_on_pairs(docs, cand, id_col, text_col)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def jaccard_on_pairs(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact distinct-token Jaccard for given (i, j) pairs."""
+    tok = _doc_tokens(docs, id_col, text_col)
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    ti = tok.select(F.col(id_col).alias("i"), "token")
+    tj = tok.select(F.col(id_col).alias("j"), "token")
+    inter = (
+        pairs.join(ti, "i")
+        .join(tj, ["j", "token"])
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("i"), F.col("sz").alias("si")), "i")
+        .join(sizes.select(F.col(id_col).alias("j"), F.col("sz").alias("sj")), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("inter") / (F.col("si") + F.col("sj") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact word-n-gram-shingle Jaccard pairs (i < j) >= threshold.
+
+    The inverted-index join on shingles replaces the O(N^2) cross join:
+    only pairs sharing >= 1 shingle are ever materialized. ``max_df``
+    optionally drops shingles occurring in more than that many docs
+    (stop-shingle guard for web-scale boilerplate).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(T.word_shingles(T.tokenize(F.col(text_col)), n))
+        ).alias("sh"),
+    )
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        df_n = F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        sh = sh.withColumn("_df", df_n).filter(F.col("_df") <= max_df).drop("_df")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("i"), "sh")
+    b = sh.select(F.col(id_col).alias("j"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("i"), F.col("sz").alias("si")), "i")
+        .join(sizes.select(F.col(id_col).alias("j"), F.col("sz").alias("sj")), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("inter") / (F.col("si") + F.col("sj") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash) — 32-bit SimHash over distinct tokens.
+
+    Bit-b weight sums are plain ``sum`` aggregates (partial+final via
+    Catalyst); the final fingerprint is column arithmetic. Ties
+    (bit sum == 0) resolve to 0 deterministically.
+    """
+    tok = _doc_tokens(docs, id_col, text_col).withColumn(
+        "hm", H.reduced_hash(F.col("token"))
+    )
+    aggs = [
+        F.sum(H.simhash_bit_weight(F.col("hm"), b)).alias(f"b{b}")
+        for b in range(H.SIMHASH_BITS)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    fp = None
+    for b in range(H.SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        fp = term if fp is None else fp + term
+    return sums.select(id_col, fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs with Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 32-bit fingerprint into
+    ``max_hamming + 1`` bands; any pair within distance d agrees on >= 1
+    band, so candidates come from equi-joins on band values (no cross
+    join), then the exact popcount filter.
+    """
+    n_bands = max_hamming + 1
+    width = H.SIMHASH_BITS // n_bands
+    s = simhash(docs, id_col, text_col)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("v"),
+        )
+        for b in range(n_bands)
+    ]
+    bt = s.select(id_col, "simhash", F.explode(F.array(*bands)).alias("bh")).select(
+        id_col, "simhash", F.col("bh.band").alias("band"), F.col("bh.v").alias("v")
+    )
+    a = bt.select(F.col(id_col).alias("i"), F.col("simhash").alias("fi"), "band", "v")
+    b = bt.select(F.col(id_col).alias("j"), F.col("simhash").alias("fj"), "band", "v")
+    return (
+        a.join(b, ["band", "v"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", F.bit_count(F.col("fi").bitwiseXOR(F.col("fj"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,209 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small)
+query set against the corpus, so the corpus never shuffles; ranking is a
+per-query window top-k (Spark's TakeOrdered pattern, SURVEY A4/O4).
+
+Scale path: sign-LSH bucketing — each vector hashes to a bucket via P
+deterministic ±1 hyperplanes (functions/hashing.hyperplanes); candidates
+are the query's bucket only, turning the O(N·Q) scan into an equi join on
+bucket id. At 100 TB the bucket table is the thing you write to Iceberg,
+bucketed by the LSH key, so probes are partition-pruned scans.
+
+The cosine kernel is expressed two ways:
+* `cosine_expr` — pure Catalyst fold (zip_with + aggregate), used in the
+  driver-contract queries because DuckDB mirrors the exact fold order
+  (bit-identical doubles, verified in tests);
+* `cosine_topk_pandas` — Arrow-batched numpy matmul for the hot path
+  (one BLAS gemm per batch instead of per-row folds).
+
+Reference basis: cosine scoring at `core_pipeline/embed.py:86-102`,
+`score_filtered_contexts.py:59-60`; the reference ranks candidate
+contexts by similarity but has no ANN index (driver-RAM dict lookups).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.functions.hashing import hyperplanes
+
+N_PLANES = 6
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double (DuckDB-mirrored)."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """F11: dot/(|a||b|), 0.0 when either norm is zero."""
+    dot = _dot(a, b)
+    na, nb = F.sqrt(_dot(a, a)), F.sqrt(_dot(b, b))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        f" z -> z[1]::DOUBLE * z[2]::DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN sqrt({dot_sql(a, a)}) > 0 AND sqrt({dot_sql(b, b)}) > 0 "
+        f"THEN {dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})) "
+        f"ELSE 0.0 END"
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, cos) — exact top-k by cosine.
+
+    ``queries`` is broadcast (the small side); the corpus is scanned once
+    with no shuffle before the per-query window.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .join(q, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
+    """Sign-LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    planes = hyperplanes(n_planes, dim)
+    out = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(vec, lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        out = out + bit.cast("long")
+    return out
+
+
+def lsh_bucket_sql(vec: str, dim: int, n_planes: int = N_PLANES) -> str:
+    planes = hyperplanes(n_planes, dim)
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
+        terms.append(f"(CASE WHEN {dot_sql(vec, lit)} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The equi join on ``bucket`` is the scale move — on a cluster the
+    corpus side is pre-bucketed/partitioned by this key, so each query
+    probes one partition instead of scanning the corpus.
+    """
+    from pyspark.sql import Window
+
+    bc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), dim).alias("bucket"),
+    )
+    bq = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            lsh_bucket(F.col(vec_col), dim).alias("bucket"),
+        )
+    )
+    scored = (
+        bc.join(bq, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hot-path exact top-k: one numpy gemm per Arrow batch, then a global
+    per-query top-k merge (partial top-k per partition, final on the
+    shuffled k·Q rows — never the full score matrix)."""
+    qids = [q[0] for q in query_vecs]
+    qm = np.asarray([q[1] for q in query_vecs], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qn))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qnorm = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+            sims = qnorm @ cn.T  # (Q, batch)
+            out = []
+            for qi, qid in enumerate(ids):
+                row = sims[qi]
+                top = np.argsort(-row, kind="stable")[: k + 1]
+                for ci in top:
+                    out.append((qid, int(pdf[id_col].iloc[ci]), float(row[ci])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cos"])
+
+    from pyspark.sql import Window
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )

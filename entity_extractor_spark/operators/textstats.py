@@ -1,0 +1,181 @@
+"""Text analysis for training-data curation: language ID, quality scoring,
+token counting, document fingerprinting.
+
+The reference's text analytics are the keyword-heuristic and composite
+scores (`score_filtered_contexts.py`, `core_pipeline/score.py`); this
+module generalizes them to the corpus-curation functions a 100 TB
+training-data pipeline runs on every document. Everything is pure column
+arithmetic (whole-stage codegen, zero shuffles per document — only the
+final aggregates shuffle), and every formula has an exact DuckDB twin in
+the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.functions import hashing as H
+from entity_extractor_spark.functions import text as T
+
+# Tiny deterministic stopword inventories (n-gram-heuristic language ID).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "ein", "zu", "den", "von"],
+    "es": ["el", "la", "los", "de", "y", "en", "es", "un", "una", "que"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "dans", "que"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr"]  # tie-break order
+
+
+def _hits(tokens: Column, words: list[str]) -> Column:
+    return F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words])))
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Distinct-token stopword hit count per language."""
+    toks = F.array_distinct(T.tokenize(text))
+    return {lang: _hits(toks, ws) for lang, ws in STOPWORDS.items()}
+
+
+def language_id(text: Column) -> Column:
+    """Predicted language = argmax stopword hits, ties broken by
+    LANG_PRIORITY order; 'und' (undetermined) when no hits at all."""
+    scores = language_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def language_id_sql(expr: str) -> str:
+    toks = f"list_distinct({T.tokenize_sql(expr)})"
+
+    def hits(lang: str) -> str:
+        lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"len(list_intersect({toks}, [{lits}]))"
+
+    best = "greatest(" + ", ".join(hits(lang) for lang in LANG_PRIORITY) + ")"
+    out = "'und'"
+    for lang in reversed(LANG_PRIORITY):
+        out = f"CASE WHEN {best} > 0 AND {hits(lang)} = {best} THEN '{lang}' ELSE {out} END"
+    return out
+
+
+# Quality-score weights (deterministic analog of heuristic quality models).
+QW_LENGTH = 0.4
+QW_STOPWORD = 0.3
+QW_ALNUM = 0.3
+Q_LEN_NORM = 50  # tokens at which the length signal saturates
+Q_STOP_SCALE = 5.0  # stopword-ratio saturation multiplier
+
+
+def quality_score(text: Column) -> Column:
+    """0..1 quality: length + stopword-density + alnum-ratio signals,
+    weighted like the reference's composite (`score.py:87-127`)."""
+    toks = T.tokenize(text)
+    n_tok = F.size(toks)
+    len_sig = F.least(n_tok.cast("double") / F.lit(float(Q_LEN_NORM)), F.lit(1.0))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))
+    )
+    stop_sig = F.least(
+        F.lit(Q_STOP_SCALE) * stop_hits / F.greatest(n_tok, F.lit(1)).cast("double"),
+        F.lit(1.0),
+    )
+    alnum = F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
+    alnum_sig = alnum.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+    raw = F.lit(QW_LENGTH) * len_sig + F.lit(QW_STOPWORD) * stop_sig + F.lit(QW_ALNUM) * alnum_sig
+    # explicit half-up on the binary double: Spark's round() goes through the
+    # shortest-decimal repr and can disagree with DuckDB at x.xxxx5 boundaries
+    return F.floor(raw * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
+def quality_score_sql(expr: str) -> str:
+    toks = T.tokenize_sql(expr)
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    n_tok = f"len({toks})"
+    len_sig = f"least({n_tok} * 1.0 / {Q_LEN_NORM}, 1.0)"
+    stop_hits = f"len(list_filter({toks}, t -> t IN ({en})))"
+    stop_sig = f"least({Q_STOP_SCALE} * {stop_hits} / greatest({n_tok}, 1), 1.0)"
+    alnum_sig = (
+        f"length(regexp_replace({expr}, '[^A-Za-z0-9 ]', '', 'g')) * 1.0"
+        f" / greatest(length({expr}), 1)"
+    )
+    raw = f"({QW_LENGTH} * {len_sig} + {QW_STOPWORD} * {stop_sig} + {QW_ALNUM} * {alnum_sig})"
+    return f"(floor({raw} * 10000.0 + 0.5) / 10000.0)"
+
+
+def quality_bucket(score: Column) -> Column:
+    return (
+        F.when(score >= 0.75, "high").when(score >= 0.5, "medium").otherwise("low")
+    )
+
+
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(text: Column) -> dict[str, Column]:
+    """Whitespace tokens, BPE-ish subword-boundary tokens, chars/token."""
+    ws = F.size(F.split(F.trim(text), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0))
+    return {
+        "n_ws_tokens": ws.cast("long"),
+        "n_bpe_tokens": bpe.cast("long"),
+        "chars_per_bpe": F.round(
+            F.length(text).cast("double") / F.greatest(bpe, F.lit(1)).cast("double"), 4
+        ),
+    }
+
+
+def token_counts_sql(expr: str) -> dict[str, str]:
+    ws = f"len(string_split_regex(trim({expr}), '\\s+'))"
+    bpe = f"len(regexp_extract_all({expr}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    return {
+        "n_ws_tokens": f"CAST({ws} AS BIGINT)",
+        "n_bpe_tokens": f"CAST({bpe} AS BIGINT)",
+        "chars_per_bpe": f"round(length({expr}) * 1.0 / greatest({bpe}, 1), 4)",
+    }
+
+
+FP_SHINGLE_N = 2
+FP_K = 2  # bottom-k sketch width
+
+
+def doc_fingerprint(text: Column) -> list[Column]:
+    """Bottom-k document fingerprint: the k smallest hashes of distinct
+    word-bigram shingles (a deterministic winnowing-style sketch; equal
+    fingerprints => near-identical shingle sets)."""
+    sh = F.array_distinct(T.word_shingles(T.tokenize(text), FP_SHINGLE_N))
+    hashes = F.array_sort(F.transform(sh, H.reduced_hash))
+    return [hashes.getItem(i).alias(f"fp{i}") for i in range(FP_K)]
+
+
+def doc_fingerprint_sql(expr: str) -> list[str]:
+    sh = f"list_distinct({T.word_shingles_sql(T.tokenize_sql(expr), FP_SHINGLE_N)})"
+    hashes = f"list_sort(list_transform({sh}, s -> {H.reduced_hash_sql('s')}))"
+    return [f"({hashes})[{i + 1}] AS fp{i}" for i in range(FP_K)]
+
+
+def corpus_quality_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Aggregate curation report: per predicted language, doc counts and
+    mean quality/token stats. The only shuffle is the final groupBy."""
+    t = F.col(text_col)
+    tc = token_counts(t)
+    enriched = docs.select(
+        language_id(t).alias("pred_lang"),
+        quality_score(t).alias("q"),
+        tc["n_ws_tokens"].alias("n_ws"),
+        tc["n_bpe_tokens"].alias("n_bpe"),
+    )
+    return (
+        enriched.groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("mean_quality"),
+            F.round(F.avg("n_ws"), 2).alias("mean_ws_tokens"),
+            F.round(F.avg("n_bpe"), 2).alias("mean_bpe_tokens"),
+        )
+        .orderBy("pred_lang")
+    )
