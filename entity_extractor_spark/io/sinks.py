@@ -1,0 +1,65 @@
+"""Sinks (SURVEY.md §2.1 S5-S10): columnar mention table, per-key export,
+compressed CSV, JSONL stage dumps, summary-stats report.
+
+Differences from the reference are deliberate Spark-first restatements:
+the reference loops Python over ``df[df.term_id == t]`` to emit one CSV
+per term (`output_formatter.py:42-73`); here that is ONE ``partitionBy``
+write — a single shuffle-free fan-out where each task writes its own
+partition directory. The summary report (`output_formatter.py:75-100`)
+becomes one aggregation plan instead of nine pandas passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_mentions_parquet(df: DataFrame, path: str, buckets_col: str = "conv_id") -> None:
+    """S5: snappy parquet, repartitioned by the conversation key so
+    downstream conv-keyed joins/windows read co-located data
+    (`extraction_engine.py:331-333`; bucketing stands in for Iceberg
+    bucket partitioning on the cluster)."""
+    df.repartition(F.col(buckets_col)).write.mode("overwrite").option(
+        "compression", "snappy"
+    ).parquet(path)
+
+
+def write_csv_gzip(df: DataFrame, path: str) -> None:
+    """S6: whole-table gzip CSV export (`output_formatter.py:26-40`)."""
+    df.write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(path)
+
+
+def write_partitioned_by_key(df: DataFrame, path: str, key: str = "term_id") -> None:
+    """S7: one directory per key — replaces the reference's Python loop
+    over ``unique()`` (`output_formatter.py:42-73`) with a single
+    partitioned write."""
+    df.write.mode("overwrite").partitionBy(key).option("header", True).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """S8: JSONL stage sink (`batch_filter.py:58-64`). Inside the engine,
+    stages stay DataFrames; this exists for interop exports only."""
+    df.write.mode("overwrite").json(path)
+
+
+def summary_stats(mentions: DataFrame) -> DataFrame:
+    """S10/A1-A5: dataset aggregate report (`output_formatter.py:75-100`)
+    as one plan: totals, distincts, location distribution, per-conv mean."""
+    per_conv = mentions.groupBy("conv_id").agg(F.sum("match_count").alias("s"))
+    totals = mentions.agg(
+        F.count(F.lit(1)).alias("total_mentions"),
+        F.countDistinct("term_id").alias("n_terms"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.sum(F.col("in_user").cast("long")).alias("n_in_user"),
+        F.sum(F.col("in_assistant").cast("long")).alias("n_in_assistant"),
+    )
+    mean_per_conv = per_conv.agg(F.round(F.avg("s"), 4).alias("mean_mentions_per_conv"))
+    return totals.crossJoin(mean_per_conv)
+
+
+def write_summary_json(mentions: DataFrame, path: str) -> None:
+    """S10: one-row JSON summary file."""
+    summary_stats(mentions).coalesce(1).write.mode("overwrite").json(path)
