@@ -20,7 +20,7 @@ from datetime import datetime, timezone
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-SYNTH_CONVS = int(os.environ.get("SPARK_GRAFT_SYNTH_CONVS", "4000"))
+SYNTH_CONVS = int(os.environ.get("SPARK_GRAFT_SYNTH_CONVS", "48000"))
 LOW, HIGH = 8, 32
 
 
@@ -33,11 +33,16 @@ def run_at(cores: int, pdf, gaz) -> tuple[float, int]:
     transcripts = (
         to_spark(spark, pdf).repartition(cores * 4, "conv_id").localCheckpoint(eager=True)
     )
-    # warm-up pass (JVM/codegen/Arrow), then the measured pass
-    extract_mentions(transcripts.limit(2000), gaz).write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
+    # full warm-up pass (JVM codegen, Python workers on every slot,
+    # matcher broadcast), then best-of-3 measured passes — measures
+    # compute+shuffle like a long-running cluster job, and the min
+    # de-noises the sandbox hypervisor's bursty CPU steal
     extract_mentions(transcripts, gaz).write.format("noop").mode("overwrite").save()
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        extract_mentions(transcripts, gaz).write.format("noop").mode("overwrite").save()
+        dt = min(dt, time.perf_counter() - t0)
     spark.stop()
     return dt, len(pdf)
 

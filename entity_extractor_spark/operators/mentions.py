@@ -122,16 +122,18 @@ def extract_mentions(
     matcher, names = build_matcher_from_gazetteer(gazetteer, include_aliases)
     raw = scan_mentions(transcripts, matcher, names, window_words)
     w = Window.partitionBy("conv_id", "term_id")
-    return (
-        raw.withColumn(
-            "in_user",
-            F.max(F.when(F.col("match_location") == "user", 1).otherwise(0)).over(w) == 1,
-        )
-        .withColumn(
-            "in_assistant",
-            F.max(F.when(F.col("match_location") == "assistant", 1).otherwise(0)).over(w) == 1,
-        )
-        .withColumn("match_count", F.lit(1).cast("long"))
+    # both flags in ONE select so Catalyst fuses them into a single Window
+    # node over one exchange (two sequential withColumns produce two sorts
+    # and ~2x the wall time at 100k turns)
+    return raw.select(
+        "*",
+        (F.max(F.when(F.col("match_location") == "user", 1).otherwise(0)).over(w) == 1).alias(
+            "in_user"
+        ),
+        (
+            F.max(F.when(F.col("match_location") == "assistant", 1).otherwise(0)).over(w) == 1
+        ).alias("in_assistant"),
+        F.lit(1).cast("long").alias("match_count"),
     )
 
 
