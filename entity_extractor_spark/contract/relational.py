@@ -406,7 +406,70 @@ def q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXACT_SCAN_LABELS = ["spark", "hash", "merge", "window"]
+
+
+def q_exact_mode_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 exact variant: case-SENSITIVE token-gated occurrence scan via
+    the matcher kernel in 'exact' mode (`batch_filter.py:31-56`)."""
+    from entity_extractor_spark.matching.matcher import GazetteerMatcher
+    from entity_extractor_spark.operators.mentions import scan_mentions
+
+    d = _load(spark, sf_dir, "documents")
+    t = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+    )
+    matcher = GazetteerMatcher.build(
+        [(lbl, [lbl]) for lbl in EXACT_SCAN_LABELS], mode="exact"
+    )
+    raw = scan_mentions(t, matcher, {lbl: lbl for lbl in EXACT_SCAN_LABELS})
+    return (
+        raw.groupBy(F.col("term_id").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("conv_id").alias("n_docs"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scoring pipeline (J2+F8+F11-as-charngram+F12+F13) over
+    doc-transcript mentions. No oracle entry: the hashed char-3-gram
+    cosine kernel (Arrow numpy) is not reasonably SQL-expressible, so the
+    driver records the weaker rows-only check; the kernel itself is
+    unit-tested in tests/test_scoring.py."""
+    from entity_extractor_spark.operators.mentions import extract_mentions
+    from entity_extractor_spark.operators.scoring import score_candidates
+    import __spark_entry__ as entry_mod
+    import pandas as pd
+
+    t = _doc_transcripts(spark, sf_dir)
+    gaz = pd.DataFrame(
+        {
+            "term_id": [g[0] for g in entry_mod.GAZ],
+            "title": [g[1] for g in entry_mod.GAZ],
+            "description": [g[1] for g in entry_mod.GAZ],
+        }
+    )
+    m = extract_mentions(t, gaz)
+    scored = score_candidates(m, spark.createDataFrame(gaz[["term_id", "description"]]))
+    return scored.select(
+        "conv_id",
+        "turn_idx",
+        "term_id",
+        F.round("similarity", 4).alias("sim"),
+        "composite_score",
+        "likelihood",
+    ).orderBy("conv_id", "turn_idx", "term_id", "sim")
+
+
 QUERIES = {
+    "exact_mode_scan": q_exact_mode_scan,
+    "scored_candidates": q_scored_candidates,
     "inverted_index": q_inverted_index,
     "pos_zip_join": q_pos_zip_join,
     "delta_merge": q_delta_merge,
@@ -454,7 +517,21 @@ def _oracles() -> dict[str, str]:
     facet_types = ", ".join(f"'{t}'" for t in FACET_TYPES)
     facet_users = ", ".join(str(u) for u in FACET_USERS)
     L = len(SPAN_TERM)
+    exact_parts = " UNION ALL ".join(
+        f"""SELECT '{lbl}' AS label,
+               len(regexp_extract_all(text, '\\b{lbl}\\b')) AS n,
+               doc_id
+            FROM documents
+            WHERE list_contains(regexp_extract_all(text, '\\b[\\w\\-]+\\b'), '{lbl}')"""
+        for lbl in EXACT_SCAN_LABELS
+    )
     return {
+        "exact_mode_scan": f"""
+            WITH hits AS ({exact_parts})
+            SELECT label, CAST(sum(n) AS BIGINT) AS n_occ,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM hits WHERE n > 0 GROUP BY label ORDER BY label
+        """,
         "inverted_index": """
             SELECT user_id,
                    array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
