@@ -10,9 +10,9 @@ shuffle-disciplined DataFrame code:
 
 * exact: one hash-partitioned window over ``md5(normalized_text)`` — a
   single shuffle on a uniformly distributed key;
-* minhash: ``explode(distinct tokens)`` -> ``groupBy(doc)`` with K ``min``
-  aggregates — partial aggregation map-side-combines, so the shuffle
-  carries K int64s per (doc, reducer), not the token stream;
+* minhash / simhash: per-row array folds over the token-hash array — a
+  pure map stage with zero shuffle (signatures are per-document
+  functions of the token set; nothing about them needs an exchange);
 * LSH banding: candidate pairs come from an equi self-join on
   ``(band_idx, band_hash)`` — never an all-pairs cross join. Hot buckets
   (a boilerplate-heavy corpus) are bounded by ``max_bucket`` via a count
@@ -57,15 +57,38 @@ def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _token_hashes(text_col: str) -> Column:
+    """Per-row array of reduced hashes of the distinct lowered tokens."""
+    toks = F.array_distinct(T.tokenize(F.col(text_col)))
+    return F.transform(toks, lambda t: H.reduced_hash(t))
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = H.MINHASH_K
 ) -> DataFrame:
-    """(id, s0..s{k-1}) minhash signature over distinct tokens."""
-    tok = _doc_tokens(docs, id_col, text_col).withColumn(
-        "hm", H.reduced_hash(F.col("token"))
+    """(id, s0..s{k-1}) minhash signature over distinct tokens.
+
+    A single per-row ``aggregate`` fold with an array accumulator: one
+    pass hashes each token once and takes the running element-wise min of
+    its K permutations. Zero shuffle (signatures are per-document
+    functions of the token set). Two rejected formulations, measured at
+    sf0.1: explode->groupBy shuffles one row per (doc, token) (~2.5x
+    slower); K separate ``array_min(transform(hashes, ...))`` columns
+    re-evaluate the md5 hash array per column because Catalyst does not
+    CSE across higher-order-function lambdas (~20x slower)."""
+    a_arr = F.array(*[F.lit(a) for a in H.MINHASH_AS[:k]])
+    b_arr = F.array(*[F.lit(b) for b in H.MINHASH_BS[:k]])
+    prime = F.lit(H.MINHASH_PRIME)
+
+    def perms(h: Column) -> Column:
+        return F.zip_with(a_arr, b_arr, lambda a, b: (a * h + b) % prime)
+
+    sigs = F.aggregate(
+        _token_hashes(text_col),
+        F.array_repeat(F.lit(H.MINHASH_PRIME).cast("long"), k),
+        lambda acc, h: F.zip_with(acc, perms(h), lambda a, b: F.least(a, b)),
     )
-    aggs = [F.min(H.minhash_perm(i, F.col("hm"))).alias(f"s{i}") for i in range(k)]
-    return tok.groupBy(id_col).agg(*aggs)
+    return docs.select(F.col(id_col), *[sigs.getItem(i).alias(f"s{i}") for i in range(k)])
 
 
 def _band_table(sigs: DataFrame, id_col: str) -> DataFrame:
@@ -192,23 +215,29 @@ def ngram_jaccard_pairs(
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash) — 32-bit SimHash over distinct tokens.
 
-    Bit-b weight sums are plain ``sum`` aggregates (partial+final via
-    Catalyst); the final fingerprint is column arithmetic. Ties
-    (bit sum == 0) resolve to 0 deterministically.
+    Per-row computation: each bit's ±1 weight sum is an ``aggregate``
+    fold over the token-hash array, so the whole fingerprint is a map
+    stage with ZERO shuffle (ties bit_sum == 0 resolve to 0
+    deterministically). The naive explode->groupBy(32 sums) version
+    shuffles one row per (doc, token) — measurably slower at sf0.1 and
+    catastrophically so at corpus scale.
     """
-    tok = _doc_tokens(docs, id_col, text_col).withColumn(
-        "hm", H.reduced_hash(F.col("token"))
+    pow_arr = F.array(*[F.lit(1 << b).cast("long") for b in range(H.SIMHASH_BITS)])
+
+    def contrib(h: Column) -> Column:
+        # ±1 per bit: floor(h / 2^b) % 2 (exact in double for h < 2^31)
+        return F.transform(pow_arr, lambda p: (F.floor(h / p).cast("long") % 2) * 2 - 1)
+
+    sums = F.aggregate(
+        _token_hashes(text_col),
+        F.array_repeat(F.lit(0).cast("long"), H.SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, contrib(h), lambda a, c: a + c),
     )
-    aggs = [
-        F.sum(H.simhash_bit_weight(F.col("hm"), b)).alias(f"b{b}")
-        for b in range(H.SIMHASH_BITS)
-    ]
-    sums = tok.groupBy(id_col).agg(*aggs)
     fp = None
     for b in range(H.SIMHASH_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        term = F.when(sums.getItem(b) > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
         fp = term if fp is None else fp + term
-    return sums.select(id_col, fp.alias("simhash"))
+    return docs.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_pairs(
