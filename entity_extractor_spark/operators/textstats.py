@@ -99,9 +99,11 @@ def quality_score_sql(expr: str) -> str:
     len_sig = f"least({n_tok} * 1.0 / {Q_LEN_NORM}, 1.0)"
     stop_hits = f"len(list_filter({toks}, t -> t IN ({en})))"
     stop_sig = f"least({Q_STOP_SCALE} * {stop_hits} / greatest({n_tok}, 1), 1.0)"
+    # parenthesized: 0.3 * (a / b) must not become ((0.3 * a) / b) — the
+    # two differ in the last ulp and flip round-half boundaries
     alnum_sig = (
-        f"length(regexp_replace({expr}, '[^A-Za-z0-9 ]', '', 'g')) * 1.0"
-        f" / greatest(length({expr}), 1)"
+        f"(length(regexp_replace({expr}, '[^A-Za-z0-9 ]', '', 'g')) * 1.0"
+        f" / greatest(length({expr}), 1))"
     )
     raw = f"({QW_LENGTH} * {len_sig} + {QW_STOPWORD} * {stop_sig} + {QW_ALNUM} * {alnum_sig})"
     return f"(floor({raw} * 10000.0 + 0.5) / 10000.0)"
