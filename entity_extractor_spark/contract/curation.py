@@ -94,6 +94,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------- text analysis
 
 
+TFIDF_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extractor_spark.operators.tfidf import tfidf_topk
+
+    return tfidf_topk(
+        _load(spark, sf_dir, "documents"), TFIDF_QUERY_IDS, k=ANN_K
+    ).orderBy("query_id", "rank")
+
+
 def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return (
@@ -152,6 +163,7 @@ QUERIES = {
     "embedding_dups": q_embedding_dups,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "tfidf_topk": q_tfidf_topk,
     "lang_id_counts": q_lang_id_counts,
     "quality_scores": q_quality_scores,
     "token_stats": q_token_stats,
@@ -319,6 +331,9 @@ def _oracles() -> dict[str, str]:
         """,
         "ann_brute_topk": f"WITH {_ann_scored_cte(False)} {_ANN_TAIL}",
         "ann_lsh_topk": f"WITH {_ann_scored_cte(True)} {_ANN_TAIL}",
+        "tfidf_topk": __import__(
+            "entity_extractor_spark.operators.tfidf", fromlist=["tfidf_topk_sql"]
+        ).tfidf_topk_sql(TFIDF_QUERY_IDS, ANN_K),
         "lang_id_counts": f"""
             SELECT lang, {X.language_id_sql('text')} AS pred_lang, count(*) AS n_docs
             FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang
