@@ -467,7 +467,29 @@ def q_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx", "term_id", "sim")
 
 
+def q_conv_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/X5: per-conversation ordered mention digest via applyInPandas.
+    Mentions are deduped per (conv, turn, term) and start zeroed so the
+    kernel's (turn_idx, start, term_id) ordering is SQL-mirrorable."""
+    from entity_extractor_spark.operators.grouped import conversation_digest
+    from entity_extractor_spark.operators.mentions import extract_mentions
+    import __spark_entry__ as entry_mod
+    import pandas as pd
+
+    t = _doc_transcripts(spark, sf_dir)
+    pdf = pd.DataFrame(
+        {"term_id": [g[0] for g in entry_mod.GAZ], "title": [g[1] for g in entry_mod.GAZ]}
+    )
+    m = (
+        extract_mentions(t, pdf)
+        .dropDuplicates(["conv_id", "turn_idx", "term_id"])
+        .withColumn("start", F.lit(0).cast("int"))
+    )
+    return conversation_digest(m).orderBy("conv_id")
+
+
 QUERIES = {
+    "conv_digest": q_conv_digest,
     "exact_mode_scan": q_exact_mode_scan,
     "scored_candidates": q_scored_candidates,
     "inverted_index": q_inverted_index,
@@ -526,6 +548,18 @@ def _oracles() -> dict[str, str]:
         for lbl in EXACT_SCAN_LABELS
     )
     return {
+        "conv_digest": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT t.conv_id, t.turn_idx, g.term_id
+              FROM t CROSS JOIN (VALUES {gaz_values}) g(term_id, rx)
+              WHERE len(regexp_extract_all(t.text, g.rx, 0, 'i')) > 0
+            )
+            SELECT conv_id, COUNT(*) AS n_mentions,
+                   COUNT(DISTINCT term_id) AS n_terms,
+                   string_agg(term_id, ',' ORDER BY turn_idx, term_id) AS term_seq
+            FROM m GROUP BY conv_id ORDER BY conv_id
+        """,
         "exact_mode_scan": f"""
             WITH hits AS ({exact_parts})
             SELECT label, CAST(sum(n) AS BIGINT) AS n_occ,
