@@ -41,6 +41,14 @@ def documents_as_transcripts(documents: DataFrame, convs: int = 50) -> DataFrame
     )
 
 
+def register_views(spark: SparkSession, tables: dict[str, DataFrame]) -> None:
+    """Interactive-SQL surface (SURVEY §3.3): register materialized stage
+    tables as temp views so `spark.sql` queries them directly — the
+    engine's replacement for the reference's dashboard query path."""
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+
+
 def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
     """S1: JSONL corpus scan with malformed-line tolerance and title
     coercion (str | array<string> | null -> string)."""
@@ -48,7 +56,16 @@ def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
     cols = {f.name: f.dataType.simpleString() for f in raw.schema.fields}
     title = F.col("title")
     if cols.get("title", "").startswith("array"):
+        # homogeneous file: Spark inferred array<string>
         title = F.concat_ws(" ", F.col("title"))
+    elif cols.get("title") == "string":
+        # mixed str|list file: Spark widens to string and keeps list rows
+        # as raw JSON text — detect and parse those per row (F17)
+        looks_json_array = F.col("title").rlike(r"^\s*\[")
+        title = F.when(
+            looks_json_array,
+            F.concat_ws(" ", F.from_json("title", "array<string>")),
+        ).otherwise(F.col("title"))
     return raw.select(
         F.col("bibcode"),
         F.coalesce(title.cast("string"), F.lit("")).alias("title"),

@@ -1,0 +1,78 @@
+"""S1/F17 ingestion semantics: malformed-JSONL tolerance, polymorphic
+title coercion, transcript adapters, and the interactive SQL surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.io.sources import (
+    documents_as_transcripts,
+    read_jsonl_corpus,
+    register_views,
+)
+
+
+def test_jsonl_corpus_polymorphic_title_and_malformed(spark, tmp_path):
+    lines = [
+        '{"bibcode": "B1", "title": "Plain String", "abstract": "a", "body": "b"}',
+        '{"bibcode": "B2", "title": ["List", "Of", "Words"], "abstract": "a2"}',
+        '{"bibcode": "B3", "title": null, "body": "only body"}',
+        "this is not json at all {{{",
+        '{"title": "no bibcode -> dropped"}',
+        '{"bibcode": "", "title": "empty bibcode -> dropped"}',
+    ]
+    p = tmp_path / "corpus.jsonl"
+    p.write_text("\n".join(lines))
+    df = read_jsonl_corpus(spark, str(p))
+    rows = {r["bibcode"]: r for r in df.collect()}
+    # malformed + keyless lines silently dropped (batch_filter.py:20-24 semantics)
+    assert set(rows) == {"B1", "B2", "B3"}
+    assert rows["B1"]["title"] == "Plain String"
+    assert rows["B2"]["title"] == "List Of Words"  # array -> space-joined (F17)
+    assert rows["B3"]["title"] == ""  # null -> empty string
+    assert rows["B3"]["body"] == "only body"
+    assert rows["B2"]["body"] == ""
+
+
+def test_documents_as_transcripts_deterministic(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t1 = documents_as_transcripts(docs, convs=50).orderBy("conv_id", "turn_idx").collect()
+    t2 = documents_as_transcripts(docs, convs=50).orderBy("conv_id", "turn_idx").collect()
+    assert t1 == t2
+    assert {r["role"] for r in t1} <= {"user", "assistant", "es", "fr", "zh"}
+    schema = {f.name: f.dataType.simpleString() for f in
+              documents_as_transcripts(docs).schema.fields}
+    assert schema == {
+        "conv_id": "string", "turn_idx": "int", "role": "string",
+        "text": "string", "tool": "string", "ts": "timestamp",
+    }
+
+
+def test_sql_surface_over_materialized_tables(spark):
+    """The dashboard query path (SURVEY §3.3) as plain spark.sql."""
+    import pandas as pd
+
+    from entity_extractor_spark.operators.mentions import extract_mentions
+    from entity_extractor_spark.synth import SynthConfig, make_gazetteer, make_transcripts, to_spark
+
+    cfg = SynthConfig(seed=3, n_terms=8, n_convs=10, hot_conv_factor=3)
+    gaz = make_gazetteer(cfg)
+    t = to_spark(spark, make_transcripts(cfg, gaz))
+    register_views(spark, {"transcripts_v": t, "mentions_v": extract_mentions(t, gaz)})
+    # P5-style search + A3 value-counts, straight SQL
+    out = spark.sql(
+        """
+        SELECT term_id, COUNT(*) AS n FROM mentions_v
+        WHERE lower(context) LIKE '%the%'
+        GROUP BY term_id ORDER BY n DESC, term_id LIMIT 5
+        """
+    ).collect()
+    assert len(out) >= 1
+    joined = spark.sql(
+        """
+        SELECT m.term_id, COUNT(DISTINCT t.conv_id) AS n_convs
+        FROM mentions_v m JOIN transcripts_v t USING (conv_id, turn_idx)
+        GROUP BY m.term_id
+        """
+    )
+    assert joined.count() >= 1
