@@ -107,6 +107,23 @@ def main() -> None:
     timings["transcript_extraction"] = round(dt, 3)
     timings["turns_per_sec"] = round(n_turns / dt, 1)
 
+    # full KG build: mentions -> dedup -> triples -> salted edges (one plan)
+    from entity_extractor_spark.operators.graph import build_edges
+    from entity_extractor_spark.operators.mentions import dedup_mentions
+    from entity_extractor_spark.operators.predicates import all_triples
+
+    def kg():
+        m = dedup_mentions(extract_mentions(transcripts, gaz))
+        return build_edges(all_triples(transcripts, m))
+
+    _materialize(kg())
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _materialize(kg())
+        dt = min(dt, time.perf_counter() - t0)
+    timings["kg_pipeline"] = round(dt, 3)
+
     total = round(sum(v for k, v in timings.items() if k != "turns_per_sec"), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Regenerate docs/PLANS.md: .explain("formatted") of the flagship plans
+with commentary — the evidence trail for 'explain and iterate until it's
+the plan you'd want'."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from entity_extractor_spark import plans as P  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+NOTES = {
+    "mention_extract": """The flagship stage. Wanted shape: parquet scan pruned to
+(conv_id, turn_idx, role, text) -> ArrowEvalPython/MapInPandas (the matcher) ->
+ONE Exchange hashpartitioning(conv_id, term_id) -> ONE Window computing both
+role flags. No driver collect, no second sort (the two flag expressions share
+one window spec).""",
+    "broadcast_dim_join": """Fact×dim join. Wanted shape: BroadcastHashJoin (dim side
+BroadcastExchange, never a shuffle of lineitem), HashAggregate partial ->
+Exchange -> HashAggregate final (map-side combine), scans pruned to the five
+needed columns with no extra project.""",
+    "minhash_sketch": """Per-document sketch. Wanted shape: a single Project over the
+scan — zero exchanges before the contract query's orderBy. The whole signature
+is one aggregate() fold per row; md5 per token computed once (see the
+dedup.py docstring for the two rejected slower formulations).""",
+    "semi_join_worklist": """Scan elision (SURVEY S2/R1). Wanted shape: BroadcastHashJoin
+LeftSemi with the work-list broadcast; the transcript side reads only the join
+key + payload columns. On Iceberg the same plan triggers dynamic file pruning.""",
+    "salted_edges": """Skew-safe weight aggregation. Wanted shape: two HashAggregate
+pairs (partial/final over (src,dst,salt), then (src,dst)) — the salt bounds any
+single reducer's share of a hot entity; AQE may coalesce the small final stage.""",
+}
+
+
+def main() -> None:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from entity_extractor_spark.session import get_spark
+    from entity_extractor_spark.io.registry import restrict_to_worklist
+    from entity_extractor_spark.operators.dedup import minhash_signatures
+    from entity_extractor_spark.operators.graph import salted_count
+    from entity_extractor_spark.operators.mentions import extract_mentions
+
+    spark = get_spark("plans", cores=4)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+
+    t = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+    )
+    gaz = pd.DataFrame({"term_id": ["g1"], "title": ["Spark: engine"]})
+
+    plans = {
+        "mention_extract": extract_mentions(t, gaz),
+        "broadcast_dim_join": (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        ),
+        "minhash_sketch": minhash_signatures(docs),
+        "semi_join_worklist": restrict_to_worklist(
+            t, spark.createDataFrame([("1",), ("2",)], "conv_id string")
+        ),
+        "salted_edges": salted_count(
+            t.select(F.col("conv_id").alias("src"), F.col("role").alias("dst")),
+            ["src", "dst"],
+        ),
+    }
+
+    out = [
+        "# PLANS — physical plans of the flagship stages",
+        "",
+        "Regenerate with `python tools/dump_plans.py`. Each plan is followed by",
+        "the shape it is REQUIRED to keep (enforced by tests/test_plans.py where",
+        "assertable).",
+        "",
+    ]
+    for name, df in plans.items():
+        plan = P.formatted_plan(df)
+        out += [f"## {name}", "", NOTES[name].strip(), "", "```", plan.strip(), "```", ""]
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "PLANS.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    print("wrote docs/PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
