@@ -406,7 +406,14 @@ def q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXACT_SCAN_LABELS = ["spark", "hash", "merge", "window"]
+EXACT_SCAN_LABELS = ["spark", "hash", "merge", "window", "merge batch"]
+
+# alias-aware gazetteer: term -> [canonical + aliases]; every surface is
+# word-boundary matched case-insensitively (include_aliases path)
+ALIAS_SCAN_GAZ = [
+    ("a1", "Spark: engine", ["stream", "scan"]),
+    ("a2", "Merge Batch: compaction", ["merge"]),
+]
 
 
 def q_exact_mode_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,6 +474,73 @@ def q_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("conv_id", "turn_idx", "term_id", "sim")
 
 
+def q_alias_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 + aliases: per-(doc, term, surface) occurrence counts with the
+    alias dictionary included in the matcher build."""
+    from entity_extractor_spark.operators.mentions import build_matcher_from_gazetteer, scan_mentions
+    import pandas as pd
+
+    d = _load(spark, sf_dir, "documents")
+    t = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+    )
+    pdf = pd.DataFrame(
+        {
+            "term_id": [g[0] for g in ALIAS_SCAN_GAZ],
+            "title": [g[1] for g in ALIAS_SCAN_GAZ],
+            "aliases": [g[2] for g in ALIAS_SCAN_GAZ],
+        }
+    )
+    matcher, names = build_matcher_from_gazetteer(pdf, include_aliases=True)
+    raw = scan_mentions(t, matcher, names)
+    return (
+        raw.groupBy(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            "term_id",
+            F.lower(F.col("surface")).alias("surface"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("doc_id", "term_id", "surface")
+    )
+
+
+def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation: events per hour + mean value."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("mean_v"))
+        .orderBy("hour")
+    )
+
+
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG analytics: per-conversation out-degree distribution over the
+    mention edge table (degree -> how many convs have it)."""
+    from entity_extractor_spark.operators.graph import salted_count
+    from entity_extractor_spark.operators.mentions import extract_mentions
+    import __spark_entry__ as entry_mod
+    import pandas as pd
+
+    t = _doc_transcripts(spark, sf_dir)
+    pdf = pd.DataFrame(
+        {"term_id": [g[0] for g in entry_mod.GAZ], "title": [g[1] for g in entry_mod.GAZ]}
+    )
+    m = extract_mentions(t, pdf).select("conv_id", "turn_idx", "term_id").dropDuplicates(
+        ["conv_id", "turn_idx", "term_id"]
+    )
+    edges = salted_count(
+        m.select(F.col("conv_id").alias("src"), F.col("term_id").alias("dst")), ["src", "dst"]
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_convs")).orderBy("degree")
+    )
+
+
 def q_conv_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/X5: per-conversation ordered mention digest via applyInPandas.
     Mentions are deduped per (conv, turn, term) and start zeroed so the
@@ -489,6 +563,9 @@ def q_conv_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "alias_mention_counts": q_alias_mention_counts,
+    "time_buckets": q_time_buckets,
+    "graph_degree": q_graph_degree,
     "conv_digest": q_conv_digest,
     "exact_mode_scan": q_exact_mode_scan,
     "scored_candidates": q_scored_candidates,
@@ -539,15 +616,54 @@ def _oracles() -> dict[str, str]:
     facet_types = ", ".join(f"'{t}'" for t in FACET_TYPES)
     facet_users = ", ".join(str(u) for u in FACET_USERS)
     L = len(SPAN_TERM)
+    # exact mode gate: single-word labels use case-sensitive token
+    # membership (batch_filter.py:48-53); phrase labels use substring
+    # containment, which n>0 already implies
+    tok_re = r"\b[\w\-]+\b"
     exact_parts = " UNION ALL ".join(
         f"""SELECT '{lbl}' AS label,
                len(regexp_extract_all(text, '\\b{lbl}\\b')) AS n,
                doc_id
             FROM documents
-            WHERE list_contains(regexp_extract_all(text, '\\b[\\w\\-]+\\b'), '{lbl}')"""
+            {gate}"""
         for lbl in EXACT_SCAN_LABELS
+        for gate in [
+            f"WHERE list_contains(regexp_extract_all(text, '{tok_re}'), '{lbl}')"
+            if " " not in lbl
+            else ""
+        ]
     )
+    from entity_extractor_spark.matching.matcher import canonical_surface
+
+    alias_rows = []
+    for tid, title, aliases in ALIAS_SCAN_GAZ:
+        for s in [canonical_surface(title)] + aliases:
+            alias_rows.append(f"('{tid}', '{s.lower()}', '\\b{s.lower()}\\b')")
+    alias_values = ", ".join(alias_rows)
     return {
+        "alias_mention_counts": f"""
+            SELECT d.doc_id AS doc_id, g.term_id AS term_id, g.surface AS surface,
+                   len(regexp_extract_all(d.text, g.rx, 0, 'i')) AS n
+            FROM documents d CROSS JOIN (VALUES {alias_values}) g(term_id, surface, rx)
+            WHERE len(regexp_extract_all(d.text, g.rx, 0, 'i')) > 0
+            ORDER BY doc_id, term_id, surface
+        """,
+        "time_buckets": """
+            SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+                   round(avg(value), 4) AS mean_v
+            FROM events GROUP BY 1 ORDER BY hour
+        """,
+        "graph_degree": f"""
+            WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+            m AS (
+              SELECT DISTINCT t.conv_id, t.turn_idx, g.term_id
+              FROM t CROSS JOIN (VALUES {gaz_values}) g(term_id, rx)
+              WHERE len(regexp_extract_all(t.text, g.rx, 0, 'i')) > 0
+            ),
+            edges AS (SELECT conv_id, term_id FROM m GROUP BY conv_id, term_id),
+            deg AS (SELECT conv_id, COUNT(*) AS degree FROM edges GROUP BY conv_id)
+            SELECT degree, COUNT(*) AS n_convs FROM deg GROUP BY degree ORDER BY degree
+        """,
         "conv_digest": f"""
             WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
             m AS (
