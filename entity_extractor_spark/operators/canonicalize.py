@@ -62,11 +62,25 @@ def connected_components(
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.agg(
+        # pointer jumping (path doubling): label <- label(label). Turns the
+        # O(diameter) neighbor propagation into O(log n) total rounds — a
+        # 300-node alias chain converges in ~8 rounds instead of 300.
+        parent = new_labels.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            new_labels.join(parent, new_labels["label"] == parent["p_node"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("p_label", "label")).alias("label"),
+                (F.col("_changed") | (F.col("p_label") < F.col("label"))).alias("_changed"),
+            )
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = jumped.agg(
             F.sum(F.coalesce(F.col("_changed").cast("int"), F.lit(0))).alias("c")
         ).first()["c"]
-        labels = new_labels.drop("_changed")
+        labels = jumped.drop("_changed")
         if not changed:
             break
     return labels.withColumnRenamed("label", "component")

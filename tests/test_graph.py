@@ -109,3 +109,14 @@ def test_build_nodes_and_edges(spark):
         .count()
     )
     assert dangling == 0
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer jumping: a 300-node chain must converge well inside
+    max_iter=25 (O(log n)), with every node labeled by the chain head."""
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i+1:04d}") for i in range(299)], "src string, dst string"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert len(got) == 300
+    assert set(got.values()) == {"n0000"}
