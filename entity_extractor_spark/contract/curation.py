@@ -137,6 +137,36 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *X.doc_fingerprint(F.col("text"))).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------------- sampling / packing
+
+SAMPLE_FRACTION = 0.1
+PACK_BUDGET = 512
+
+
+def q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extractor_spark.operators.sampling import deterministic_sample
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        deterministic_sample(d, "doc_id", SAMPLE_FRACTION)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang")
+    )
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extractor_spark.operators.sampling import split_report
+
+    return split_report(_load(spark, sf_dir, "documents"), "doc_id", by="lang")
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extractor_spark.operators.sampling import packing_report
+
+    return packing_report(_load(spark, sf_dir, "documents"), PACK_BUDGET)
+
+
 # --------------------------------------------------------------------------- multimodal
 
 
@@ -170,6 +200,9 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_report": q_multimodal_report,
+    "det_sample": q_det_sample,
+    "dataset_split": q_dataset_split,
+    "sequence_packing": q_sequence_packing,
 }
 
 
@@ -353,6 +386,35 @@ def _oracles() -> dict[str, str]:
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, {', '.join(fp)} FROM documents ORDER BY doc_id
+        """,
+        "det_sample": f"""
+            SELECT lang, COUNT(*) AS n FROM documents
+            WHERE ({H.token_hash_sql('CAST(doc_id AS VARCHAR)')} % {10_000}) < {int(SAMPLE_FRACTION * 10_000)}
+            GROUP BY lang ORDER BY lang
+        """,
+        "dataset_split": f"""
+            WITH s AS (
+              SELECT lang,
+                     ({H.token_hash_sql('CAST(doc_id AS VARCHAR)')} % {10_000}) AS b
+              FROM documents
+            )
+            SELECT lang,
+                   CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+                   COUNT(*) AS n
+            FROM s GROUP BY 1, 2 ORDER BY lang, split
+        """,
+        "sequence_packing": f"""
+            WITH t AS (
+              SELECT doc_id, {X.token_counts_sql('text')['n_bpe_tokens']} AS n_tokens
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, n_tokens,
+                     CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) / 512.0) AS BIGINT) AS bin
+              FROM t
+            )
+            SELECT bin, COUNT(*) AS n_docs, sum(n_tokens) AS n_tokens
+            FROM p GROUP BY bin ORDER BY bin
         """,
         "multimodal_meta": f"""
             SELECT doc_id AS asset_id, {kind} AS kind,

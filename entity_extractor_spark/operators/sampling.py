@@ -1,0 +1,95 @@
+"""Deterministic sampling / splitting / packing for training-data prep.
+
+``df.sample()`` is seed-dependent per engine AND per partitioning — a
+reproducibility bug at 100 TB (re-running after adding one file changes
+every sample). These operators derive membership from a content hash
+(functions/hashing.token_hash of the row key), so:
+
+* the same row lands in the same sample/split forever, on any engine,
+  any partitioning, any cluster size — and the DuckDB oracle mirrors it
+  exactly;
+* sampling is a pure map-stage filter (predicate-pushdown friendly,
+  zero shuffle);
+* split fractions are exact in expectation and fixed per row (the
+  standard web-scale train/val/test protocol).
+
+``pack_sequences`` is the context-window packing step of an LLM data
+pipeline: documents are assigned to fixed-token-budget bins by a running
+token count within each (ordered) partition key — one window, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.functions.hashing import token_hash
+from entity_extractor_spark.operators.textstats import token_counts
+
+SAMPLE_MOD = 10_000
+
+
+def sample_bucket(key: Column) -> Column:
+    """Stable bucket in [0, SAMPLE_MOD) from the row key's content hash."""
+    return F.pmod(token_hash(key.cast("string")), F.lit(SAMPLE_MOD))
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Keep ~fraction of rows, membership fixed by content hash of key."""
+    return df.filter(sample_bucket(F.col(key)) < int(fraction * SAMPLE_MOD))
+
+
+def assign_split(
+    key: Column, train: float = 0.8, val: float = 0.1
+) -> Column:
+    """'train' | 'val' | 'test' from the stable bucket (test = remainder)."""
+    b = sample_bucket(key)
+    t_hi = int(train * SAMPLE_MOD)
+    v_hi = t_hi + int(val * SAMPLE_MOD)
+    return (
+        F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test")
+    )
+
+
+def split_report(df: DataFrame, key: str, by: str | None = None) -> DataFrame:
+    """Counts per split (optionally per stratum) — the sanity report you
+    run before training."""
+    cols = ([by] if by else []) + ["split"]
+    out = df.withColumn("split", assign_split(F.col(key)))
+    return out.groupBy(*cols).agg(F.count(F.lit(1)).alias("n")).orderBy(*cols)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_col: Column | None = None,
+) -> DataFrame:
+    """Assign each doc to a packing bin by running token count.
+
+    bin = floor(tokens_before_this_doc / budget); docs longer than the
+    budget still get a bin (they'd be chunked downstream by F10). The
+    window is keyed by a constant by default (global packing — fine for
+    bounded partitions); pass ``partition_col`` (e.g. a shard id) to make
+    it embarrassingly parallel at corpus scale.
+    """
+    part = partition_col if partition_col is not None else F.lit(0)
+    n_tok = token_counts(F.col(text_col))["n_bpe_tokens"]
+    w = Window.partitionBy(part).orderBy(id_col)
+    cum = F.sum(n_tok).over(w)
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / F.lit(budget_tokens)).cast("long").alias("bin"),
+    )
+
+
+def packing_report(docs: DataFrame, budget_tokens: int) -> DataFrame:
+    """Per-bin fill stats — how efficiently the corpus packs."""
+    packed = pack_sequences(docs, budget_tokens)
+    return (
+        packed.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("bin")
+    )

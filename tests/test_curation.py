@@ -143,3 +143,37 @@ def test_multimodal_real_decode_is_stubbed(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(2)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         decode_assets(attach_payloads(docs), fake=False).collect()
+
+
+def test_deterministic_sampling_stability(spark):
+    from entity_extractor_spark.operators.sampling import (
+        assign_split,
+        deterministic_sample,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.2).collect()}
+    # repartitioning must not change membership (df.sample would)
+    s2 = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(13), "doc_id", 0.2).collect()
+    }
+    assert s1 == s2 and 0.1 < len(s1) / docs.count() < 0.3
+    # split partitions the corpus, fractions roughly honored
+    splits = (
+        docs.select("doc_id", assign_split(F.col("doc_id")).alias("s"))
+        .groupBy("s").count().collect()
+    )
+    by = {r["s"]: r["count"] for r in splits}
+    n = sum(by.values())
+    assert set(by) == {"train", "val", "test"} and by["train"] / n > 0.7
+    # packing: bins respect the running-count definition
+    packed = pack_sequences(docs.limit(50), 512).collect()
+    bins = {}
+    for r in sorted(packed, key=lambda r: r["doc_id"]):
+        bins.setdefault(r["bin"], 0)
+        bins[r["bin"]] += r["n_tokens"]
+    # every bin except possibly the last was opened before exceeding budget
+    for b, tot in bins.items():
+        assert tot >= 1
