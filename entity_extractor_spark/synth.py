@@ -168,6 +168,97 @@ def make_transcripts(cfg: SynthConfig, gazetteer: pd.DataFrame | None = None) ->
     return df
 
 
+def _gen_conv_records(
+    rng: np.random.Generator,
+    cfg: SynthConfig,
+    names: list[str],
+    decoys: list[str],
+    hot_name: str,
+    ci: int,
+    n_turns: int,
+) -> list[tuple]:
+    """One conversation's rows — shared by the driver-side and the
+    distributed generator (identical planting logic)."""
+    recs: list[tuple] = []
+    base_ts = np.datetime64("2026-01-01T00:00:00")
+    conv_id = f"conv-{ci:06d}"
+    roles = rng.choice(_ROLES, size=n_turns, p=_ROLE_P)
+    roles[0] = "user"
+    for ti in range(n_turns):
+        n_words = int(rng.integers(8, 60))
+        words = list(rng.choice(_FILLER, size=n_words))
+        if rng.random() < cfg.plant_rate:
+            k = int(rng.integers(1, 4))
+            for _ in range(k):
+                name = names[int(rng.integers(len(names)))]
+                variant = int(rng.integers(0, 4))
+                if variant == 1:
+                    name = name.upper()
+                elif variant == 2:
+                    name = name.lower()
+                elif variant == 3 and " " not in name:
+                    name = name + ","
+                words.insert(int(rng.integers(0, len(words) + 1)), name)
+        if rng.random() < cfg.hot_entity_rate:
+            words.insert(int(rng.integers(0, len(words) + 1)), hot_name)
+        if rng.random() < 0.25:
+            words.insert(int(rng.integers(0, len(words) + 1)), decoys[int(rng.integers(len(decoys)))])
+        text = " ".join(words)
+        if rng.random() < 0.15:
+            cut = int(rng.integers(1, max(2, len(text))))
+            text = text[:cut] + "\n " + text[cut:]
+        role = str(roles[ti])
+        tool = _TOOLS[int(rng.integers(len(_TOOLS)))] if role == "tool" else None
+        ts = base_ts + np.timedelta64(ci * 3600 + ti * 30, "s")
+        recs.append((conv_id, np.int32(ti), role, text, tool, ts))
+    return recs
+
+
+def make_transcripts_distributed(spark, cfg: SynthConfig, parallelism: int | None = None):
+    """Executor-side corpus generation for multi-million-turn benches.
+
+    Each conversation derives its own ``default_rng((seed, ci))``, so the
+    corpus is byte-identical for a given cfg REGARDLESS of partitioning
+    or cluster size — the property driver-side generation can't scale to
+    (one pandas frame) and naive per-partition seeding can't guarantee.
+    NOTE: per-conv streams differ from make_transcripts' single-stream
+    corpus; the two generators produce statistically identical but not
+    byte-identical data.
+    """
+    from collections.abc import Iterator
+
+    gaz = make_gazetteer(cfg)
+    rng0 = np.random.default_rng(cfg.seed + 1)
+    names = [t.split(":")[0].strip() for t in gaz["title"]]
+    decoys = _decoys(rng0, {n.lower() for n in names})
+    hot_name = names[0]
+    bc = spark.sparkContext.broadcast((cfg, names, decoys, hot_name))
+    par = parallelism or spark.sparkContext.defaultParallelism * 4
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cfg_, names_, decoys_, hot_ = bc.value
+        for pdf in batches:
+            recs: list[tuple] = []
+            for ci in pdf["id"].tolist():
+                rng = np.random.default_rng((cfg_.seed, ci))
+                n_turns = int(np.clip(rng.geometric(1.0 / cfg_.mean_turns), 2, 60))
+                if ci == cfg_.n_convs // 2:
+                    n_turns = cfg_.mean_turns * cfg_.hot_conv_factor
+                recs.extend(
+                    _gen_conv_records(rng, cfg_, names_, decoys_, hot_, int(ci), n_turns)
+                )
+            out = pd.DataFrame.from_records(
+                recs, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            )
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    return (
+        spark.range(0, cfg.n_convs, 1, par)
+        .mapInPandas(gen, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+    )
+
+
 def to_spark(spark, pdf: pd.DataFrame, gaz: bool = False):
     from pyspark.sql import types as T
 
