@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SYNTH_CONVS = int(os.environ.get("SPARK_GRAFT_SYNTH_CONVS", "12000"))
+SYNTH_CONVS = int(os.environ.get("SPARK_GRAFT_SYNTH_CONVS", "48000"))
 
 # relational + mention-scan core
 HEADLINE = [
@@ -92,12 +92,14 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     # flagship: full mention extraction over synthetic transcripts
+    # (generated executor-side — deterministic per config, see synth.py)
+    from entity_extractor_spark.synth import make_transcripts_distributed
+
     cfg = SynthConfig(seed=42, n_terms=256, n_convs=SYNTH_CONVS, hot_conv_factor=50)
     gaz = make_gazetteer(cfg)
-    pdf = make_transcripts(cfg, gaz)
-    n_turns = len(pdf)
-    transcripts = to_spark(spark, pdf).repartition(CPUS * 2, "conv_id")
+    transcripts = make_transcripts_distributed(spark, cfg, parallelism=CPUS * 2)
     transcripts = transcripts.localCheckpoint(eager=True)  # exclude gen cost
+    n_turns = transcripts.count()
     _materialize(extract_mentions(transcripts, gaz))  # warm (broadcast + workers)
     dt = float("inf")
     for _ in range(3):
