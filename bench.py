@@ -115,7 +115,10 @@ def main() -> None:
     from entity_extractor_spark.operators.predicates import all_triples
 
     def kg():
-        m = dedup_mentions(extract_mentions(transcripts, gaz))
+        # materialize mentions once (the real pipeline checkpoints this
+        # stage too) — all_triples references it from three subtrees and
+        # would otherwise re-run the Python scan per branch
+        m = dedup_mentions(extract_mentions(transcripts, gaz)).localCheckpoint(eager=True)
         return build_edges(all_triples(transcripts, m))
 
     _materialize(kg())

@@ -52,11 +52,25 @@ def mention_triples(mentions: DataFrame, entity_map: DataFrame | None = None) ->
     )
 
 
-def uses_tool_triples(transcripts: DataFrame) -> DataFrame:
+def adjacent_turns(transcripts: DataFrame) -> DataFrame:
+    """ONE window pass computing every adjacent-turn column (lead role/
+    tool, lag role/turn). All predicate extractors filter from this frame,
+    so the conv_id sort+exchange happens once no matter how many
+    predicates are derived (Catalyst reuses the shared subplan)."""
     w = _conv_window()
-    t = transcripts.select("conv_id", "turn_idx", "role", "tool").withColumns(
-        {"next_role": F.lead("role").over(w), "next_tool": F.lead("tool").over(w)}
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lead("role").over(w).alias("next_role"),
+        F.lead("tool").over(w).alias("next_tool"),
+        F.lag("role").over(w).alias("prev_role"),
+        F.lag("turn_idx").over(w).alias("prev_idx"),
     )
+
+
+def uses_tool_triples(transcripts: DataFrame, adjacent: DataFrame | None = None) -> DataFrame:
+    t = adjacent if adjacent is not None else adjacent_turns(transcripts)
     return t.filter(
         (F.col("role") == "assistant") & (F.col("next_role") == "tool") & F.col("next_tool").isNotNull()
     ).select(
@@ -68,11 +82,8 @@ def uses_tool_triples(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def replies_to_triples(transcripts: DataFrame) -> DataFrame:
-    w = _conv_window()
-    t = transcripts.select("conv_id", "turn_idx", "role").withColumns(
-        {"prev_role": F.lag("role").over(w), "prev_idx": F.lag("turn_idx").over(w)}
-    )
+def replies_to_triples(transcripts: DataFrame, adjacent: DataFrame | None = None) -> DataFrame:
+    t = adjacent if adjacent is not None else adjacent_turns(transcripts)
     return t.filter((F.col("role") == "assistant") & (F.col("prev_role") == "user")).select(
         F.concat_ws(":", "conv_id", "turn_idx").alias("subj"),
         F.lit("replies_to").alias("pred"),
@@ -127,10 +138,11 @@ def alias_triples(entity_map: DataFrame) -> DataFrame:
 def all_triples(
     transcripts: DataFrame, mentions: DataFrame, entity_map: DataFrame | None = None
 ) -> DataFrame:
+    adjacent = adjacent_turns(transcripts)
     parts = [
         mention_triples(mentions, entity_map),
-        uses_tool_triples(transcripts),
-        replies_to_triples(transcripts),
+        uses_tool_triples(transcripts, adjacent),
+        replies_to_triples(transcripts, adjacent),
         co_mention_triples(mentions, entity_map),
     ]
     if entity_map is not None:
