@@ -541,6 +541,24 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region -> nation -> total) — beyond-reference
+    OLAP surface; Catalyst expands to grouping sets."""
+    n = _load(spark, sf_dir, "nation")
+    c = _load(spark, sf_dir, "customer")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey)
+    return (
+        joined.rollup("n_regionkey", "n_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy(
+            F.col("n_regionkey").asc_nulls_first(), F.col("n_nationkey").asc_nulls_first()
+        )
+    )
+
+
 def q_conv_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10/X5: per-conversation ordered mention digest via applyInPandas.
     Mentions are deduped per (conv, turn, term) and start zeroed so the
@@ -566,6 +584,7 @@ QUERIES = {
     "alias_mention_counts": q_alias_mention_counts,
     "time_buckets": q_time_buckets,
     "graph_degree": q_graph_degree,
+    "rollup_agg": q_rollup_agg,
     "conv_digest": q_conv_digest,
     "exact_mode_scan": q_exact_mode_scan,
     "scored_candidates": q_scored_candidates,
@@ -663,6 +682,13 @@ def _oracles() -> dict[str, str]:
             edges AS (SELECT conv_id, term_id FROM m GROUP BY conv_id, term_id),
             deg AS (SELECT conv_id, COUNT(*) AS degree FROM edges GROUP BY conv_id)
             SELECT degree, COUNT(*) AS n_convs FROM deg GROUP BY degree ORDER BY degree
+        """,
+        "rollup_agg": """
+            SELECT n_regionkey, n_nationkey, COUNT(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_regionkey, n_nationkey)
+            ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST
         """,
         "conv_digest": f"""
             WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
