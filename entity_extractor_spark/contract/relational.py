@@ -541,6 +541,37 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'click' matched to the user's latest at-or-before
+    'view'; per-user match stats (oracle: DuckDB native ASOF JOIN)."""
+    from entity_extractor_spark.operators.temporal import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    j = asof_join(clicks, views, key="user_id", ts="ts", right_cols=["view_id"], order_col=None)
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(F.col("r_view_id").isNotNull().cast("long")).alias("n_matched"),
+            F.round(
+                F.avg(F.unix_timestamp("ts") - F.unix_timestamp("r_ts")), 2
+            ).alias("mean_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (30 min), per-user session stats."""
+    from entity_extractor_spark.operators.temporal import session_stats
+
+    return session_stats(_load(spark, sf_dir, "events"), key="user_id", gap_seconds=1800)
+
+
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (region -> nation -> total) — beyond-reference
     OLAP surface; Catalyst expands to grouping sets."""
@@ -584,6 +615,8 @@ QUERIES = {
     "alias_mention_counts": q_alias_mention_counts,
     "time_buckets": q_time_buckets,
     "graph_degree": q_graph_degree,
+    "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
     "rollup_agg": q_rollup_agg,
     "conv_digest": q_conv_digest,
     "exact_mode_scan": q_exact_mode_scan,
@@ -682,6 +715,45 @@ def _oracles() -> dict[str, str]:
             edges AS (SELECT conv_id, term_id FROM m GROUP BY conv_id, term_id),
             deg AS (SELECT conv_id, COUNT(*) AS degree FROM edges GROUP BY conv_id)
             SELECT degree, COUNT(*) AS n_convs FROM deg GROUP BY degree ORDER BY degree
+        """,
+        "asof_join": """
+            WITH clicks AS (
+              SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+            ),
+            views AS (
+              SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view'
+            ),
+            j AS (
+              SELECT c.user_id, c.ts, v.view_id, v.ts AS r_ts
+              FROM clicks c ASOF LEFT JOIN views v
+                ON c.user_id = v.user_id AND c.ts >= v.ts
+            )
+            SELECT user_id, COUNT(*) AS n_clicks,
+                   sum(CASE WHEN view_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+                   round(avg(date_diff('second', r_ts, ts)), 2) AS mean_gap_s
+            FROM j GROUP BY user_id ORDER BY user_id
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS gap
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+              FROM g
+            ),
+            per AS (
+              SELECT user_id, session_idx, COUNT(*) AS n_events,
+                     date_diff('second', min(ts), max(ts)) AS dur_s
+              FROM s GROUP BY user_id, session_idx
+            )
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   round(avg(dur_s), 2) AS mean_session_s
+            FROM per GROUP BY user_id ORDER BY user_id
         """,
         "rollup_agg": """
             SELECT n_regionkey, n_nationkey, COUNT(*) AS n_customers,

@@ -1,0 +1,104 @@
+"""Temporal operators Spark lacks as built-ins: as-of join and batch
+sessionization.
+
+Not present in the reference (its only time handling is delta-file
+timestamps, `app.py:307`); these are the standard event-stream operators
+a transcript/telemetry pipeline needs at scale, expressed as single-pass
+window plans:
+
+* ``asof_join`` — for each left row, the latest right row with
+  ``right.ts <= left.ts`` within the same key. Implemented as the
+  union-tag-window pattern: tag both sides, sort within key by
+  ``(ts, tag, order)`` (right rows before left at ties so equal
+  timestamps match), and carry the last-seen right row forward with
+  ``last(..., ignorenulls=True)``. ONE shuffle on the key — no
+  range-condition join explosion; equivalent to DuckDB's native
+  ``ASOF JOIN`` (the contract oracle).
+* ``sessionize`` — session ids from inactivity gaps: gap > threshold
+  starts a new session; session index = running sum of start flags. One
+  window, composable with any downstream per-session aggregation; the
+  batch equivalent of Structured Streaming's session windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+    right_cols: list[str] | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Left rows + latest right row at-or-before each left timestamp.
+
+    ``right_cols`` are the right-side payload columns to carry (renamed
+    ``r_<col>``); ``order_col`` breaks exact-timestamp ties within the
+    right side deterministically (latest wins).
+    """
+    rc = right_cols or [c for c in right.columns if c not in (key, ts)]
+    lt = left.withColumn("_tag", F.lit(1))
+    for c in rc:
+        lt = lt.withColumn(f"r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(
+        key,
+        ts,
+        *[F.col(c).alias(f"r_{c}") for c in rc],
+    ).withColumn("_tag", F.lit(0))
+    for c in left.columns:
+        if c not in (key, ts):
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = lt.unionByName(rt)
+    order = [F.col(ts), F.col("_tag")]
+    if order_col is not None:
+        order.append(F.coalesce(F.col(order_col), F.lit(None)))
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"_carry_{c}")
+            for c in rc
+        ],
+        F.max(F.when(F.col("_tag") == 0, F.col(ts))).over(w).alias("_carry_ts"),
+    )
+    out = carried.filter(F.col("_tag") == 1).drop("_tag", *[f"r_{c}" for c in rc])
+    for c in rc:
+        out = out.withColumnRenamed(f"_carry_{c}", f"r_{c}")
+    return out.withColumnRenamed("_carry_ts", "r_ts")
+
+
+def sessionize(
+    df: DataFrame, key: str, ts: str = "ts", gap_seconds: int = 1800
+) -> DataFrame:
+    """Adds ``session_idx`` (0-based per key) from the inactivity-gap rule."""
+    w = Window.partitionBy(key).orderBy(ts)
+    gap = F.unix_timestamp(ts) - F.unix_timestamp(F.lag(ts).over(w))
+    new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        "session_idx",
+        (F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1).cast("long"),
+    )
+
+
+def session_stats(
+    df: DataFrame, key: str, ts: str = "ts", gap_seconds: int = 1800
+) -> DataFrame:
+    """Per-key session summary: session count, events, mean session len."""
+    s = sessionize(df, key, ts, gap_seconds)
+    per_session = s.groupBy(key, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max(ts)) - F.unix_timestamp(F.min(ts))).alias("dur_s"),
+    )
+    return (
+        per_session.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.avg("dur_s"), 2).alias("mean_session_s"),
+        )
+        .orderBy(key)
+    )

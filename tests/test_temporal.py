@@ -1,0 +1,56 @@
+"""As-of join and sessionization semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.operators.temporal import asof_join, session_stats, sessionize
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_join_semantics(spark):
+    left = _df(
+        spark,
+        [(1, "2026-01-01 10:00:05", 100), (1, "2026-01-01 10:00:00", 101), (2, "2026-01-01 09:00:00", 102)],
+        "user_id long, ts string, event_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = _df(
+        spark,
+        [
+            (1, "2026-01-01 09:59:59", 7),   # before both clicks
+            (1, "2026-01-01 10:00:05", 8),   # exactly at the later click -> matches it
+            (1, "2026-01-01 11:00:00", 9),   # after everything
+            (3, "2026-01-01 08:00:00", 10),  # other key
+        ],
+        "user_id long, ts string, vid long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r["event_id"]: (r["r_vid"], str(r["r_ts"]) if r["r_ts"] else None)
+        for r in asof_join(left, right, "user_id", right_cols=["vid"]).collect()
+    }
+    assert out[101] == (7, "2026-01-01 09:59:59")  # latest <= 10:00:00
+    assert out[100] == (8, "2026-01-01 10:00:05")  # equal ts matches
+    assert out[102] == (None, None)  # no right row for user 2
+
+
+def test_sessionize_gap_rule(spark):
+    rows = [
+        (1, "2026-01-01 10:00:00"),
+        (1, "2026-01-01 10:10:00"),  # same session (10 min)
+        (1, "2026-01-01 11:10:00"),  # 60-min gap -> new session
+        (2, "2026-01-01 10:00:00"),
+    ]
+    df = _df(spark, rows, "user_id long, ts string").withColumn("ts", F.to_timestamp("ts"))
+    s = sessionize(df, "user_id", gap_seconds=1800).collect()
+    by = {(r["user_id"], str(r["ts"])): r["session_idx"] for r in s}
+    assert by[(1, "2026-01-01 10:00:00")] == 0
+    assert by[(1, "2026-01-01 10:10:00")] == 0
+    assert by[(1, "2026-01-01 11:10:00")] == 1
+    assert by[(2, "2026-01-01 10:00:00")] == 0
+    stats = {r["user_id"]: r for r in session_stats(df, "user_id", gap_seconds=1800).collect()}
+    assert stats[1]["n_sessions"] == 2 and stats[1]["n_events"] == 3
+    assert stats[2]["n_sessions"] == 1
