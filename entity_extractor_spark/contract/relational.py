@@ -541,6 +541,25 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling analytics: trailing-1-hour event count per
+    user at each event; distribution of that count."""
+    ev = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    rolled = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("trailing_1h")
+    )
+    return (
+        rolled.groupBy("trailing_1h")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("trailing_1h")
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each 'click' matched to the user's latest at-or-before
     'view'; per-user match stats (oracle: DuckDB native ASOF JOIN)."""
@@ -615,6 +634,7 @@ QUERIES = {
     "alias_mention_counts": q_alias_mention_counts,
     "time_buckets": q_time_buckets,
     "graph_degree": q_graph_degree,
+    "rolling_window": q_rolling_window,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "rollup_agg": q_rollup_agg,
@@ -715,6 +735,18 @@ def _oracles() -> dict[str, str]:
             edges AS (SELECT conv_id, term_id FROM m GROUP BY conv_id, term_id),
             deg AS (SELECT conv_id, COUNT(*) AS degree FROM edges GROUP BY conv_id)
             SELECT degree, COUNT(*) AS n_convs FROM deg GROUP BY degree ORDER BY degree
+        """,
+        "rolling_window": """
+            WITH r AS (
+              SELECT user_id,
+                     COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+                     ) AS trailing_1h
+              FROM events
+            )
+            SELECT trailing_1h, COUNT(*) AS n_events
+            FROM r GROUP BY trailing_1h ORDER BY trailing_1h
         """,
         "asof_join": """
             WITH clicks AS (
