@@ -541,6 +541,35 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIVOT_TYPES = ["click", "view", "purchase", "error", "scroll"]
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: day-of-week x event_type count matrix (fixed column set so
+    the plan is a single conditional aggregation, no two-pass pivot)."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.dayofmonth("ts").alias("dom"))
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, PIVOT_TYPES)
+        .orderBy("dom")
+    )
+
+
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) value quartiles within each event_type -> per-bucket
+    mean (window-function coverage: ntile)."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(4).over(w).alias("q"))
+        .groupBy("event_type", "q")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("mean_v"))
+        .orderBy("event_type", "q")
+    )
+
+
 def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame rolling analytics: trailing-1-hour event count per
     user at each event; distribution of that count."""
@@ -634,6 +663,8 @@ QUERIES = {
     "alias_mention_counts": q_alias_mention_counts,
     "time_buckets": q_time_buckets,
     "graph_degree": q_graph_degree,
+    "pivot_counts": q_pivot_counts,
+    "ntile_buckets": q_ntile_buckets,
     "rolling_window": q_rolling_window,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
@@ -735,6 +766,20 @@ def _oracles() -> dict[str, str]:
             edges AS (SELECT conv_id, term_id FROM m GROUP BY conv_id, term_id),
             deg AS (SELECT conv_id, COUNT(*) AS degree FROM edges GROUP BY conv_id)
             SELECT degree, COUNT(*) AS n_convs FROM deg GROUP BY degree ORDER BY degree
+        """,
+        "pivot_counts": f"""
+            SELECT day(ts) AS dom,
+                   {", ".join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in PIVOT_TYPES)}
+            FROM events GROUP BY 1 ORDER BY dom
+        """,
+        "ntile_buckets": """
+            WITH t AS (
+              SELECT event_type, value,
+                     ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS q
+              FROM events
+            )
+            SELECT event_type, q, COUNT(*) AS n, round(avg(value), 4) AS mean_v
+            FROM t GROUP BY event_type, q ORDER BY event_type, q
         """,
         "rolling_window": """
             WITH r AS (
