@@ -541,6 +541,16 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROFILE_COLS = ["event_id", "user_id", "event_type", "value"]
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile (exact mode for the oracle compare)."""
+    from entity_extractor_spark.operators.profiling import profile_table
+
+    return profile_table(_load(spark, sf_dir, "events"), PROFILE_COLS, exact=True)
+
+
 PIVOT_TYPES = ["click", "view", "purchase", "error", "scroll"]
 
 
@@ -663,6 +673,7 @@ QUERIES = {
     "alias_mention_counts": q_alias_mention_counts,
     "time_buckets": q_time_buckets,
     "graph_degree": q_graph_degree,
+    "profile_table": q_profile_table,
     "pivot_counts": q_pivot_counts,
     "ntile_buckets": q_ntile_buckets,
     "rolling_window": q_rolling_window,
@@ -767,6 +778,13 @@ def _oracles() -> dict[str, str]:
             deg AS (SELECT conv_id, COUNT(*) AS degree FROM edges GROUP BY conv_id)
             SELECT degree, COUNT(*) AS n_convs FROM deg GROUP BY degree ORDER BY degree
         """,
+        "profile_table": " UNION ALL ".join(
+            f'''SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   COUNT(DISTINCT {c}) AS n_distinct
+                FROM events'''
+            for c in PROFILE_COLS
+        ) + ' ORDER BY "column"',
         "pivot_counts": f"""
             SELECT day(ts) AS dom,
                    {", ".join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in PIVOT_TYPES)}
