@@ -18,6 +18,7 @@ ANN_QUERY_MAX_ID = 10
 ANN_K = 5
 EMB_DUP_T = 0.4
 LSH_JACCARD_T = 0.5
+LSH_MAX_BUCKET = 10_000
 NGRAM_JACCARD_T = 0.2
 SIMHASH_MAX_HAMMING = 3
 
@@ -44,7 +45,9 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(
-        _load(spark, sf_dir, "documents"), threshold=LSH_JACCARD_T
+        _load(spark, sf_dir, "documents"),
+        threshold=LSH_JACCARD_T,
+        max_bucket=LSH_MAX_BUCKET,
     ).orderBy("i", "j")
 
 
@@ -141,6 +144,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_FRACTION = 0.1
 PACK_BUDGET = 512
+from entity_extractor_spark.operators.sampling import N_PACK_SHARDS as PACK_SHARDS  # noqa: E402
 
 
 def q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,13 +217,22 @@ def _minhash_sig_cte() -> str:
     mins = ", ".join(
         f"min({H.minhash_perm_sql(i, 'hm')}) AS s{i}" for i in range(H.MINHASH_K)
     )
+    # LEFT JOIN back onto documents with the sentinel defaults: the Spark
+    # aggregate fold emits a row for EVERY doc (zero-token docs keep the
+    # initial MINHASH_PRIME accumulator), while a bare unnest->GROUP BY
+    # would drop them — a row-count parity bug on punctuation-only docs.
+    sent = ", ".join(
+        f"coalesce(s.s{i}, {H.MINHASH_PRIME}) AS s{i}" for i in range(H.MINHASH_K)
+    )
     return f"""
         tok AS (
           SELECT doc_id, unnest({_TOKS}) AS t FROM documents
         ), h AS (
           SELECT doc_id, {_HM} AS hm FROM tok
-        ), sig AS (
+        ), sig0 AS (
           SELECT doc_id, {mins} FROM h GROUP BY doc_id
+        ), sig AS (
+          SELECT d.doc_id, {sent} FROM documents d LEFT JOIN sig0 s USING (doc_id)
         )"""
 
 
@@ -231,6 +244,8 @@ def _simhash_cte() -> str:
         f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         for b in range(H.SIMHASH_BITS)
     )
+    # zero-token docs: all bit sums absent -> fingerprint 0 (the Spark
+    # fold's initial accumulator), via the same LEFT JOIN sentinel shape
     return f"""
         tok AS (
           SELECT doc_id, unnest({_TOKS}) AS t FROM documents
@@ -238,8 +253,11 @@ def _simhash_cte() -> str:
           SELECT doc_id, {_HM} AS hm FROM tok
         ), sums AS (
           SELECT doc_id, {sums} FROM h GROUP BY doc_id
-        ), sh AS (
+        ), sh0 AS (
           SELECT doc_id, {fp} AS simhash FROM sums
+        ), sh AS (
+          SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+          FROM documents d LEFT JOIN sh0 s USING (doc_id)
         )"""
 
 
@@ -318,7 +336,16 @@ def _oracles() -> dict[str, str]:
         """,
         "minhash_lsh_pairs": f"""
             WITH {_minhash_sig_cte()},
-            band AS ({_band_sql()}),
+            band0 AS ({_band_sql()}),
+            band AS (
+              -- mirror of the Spark-side max_bucket hot-bucket guard:
+              -- drop degenerate (band, h) buckets BEFORE the self-join
+              SELECT doc_id, band, h FROM (
+                SELECT doc_id, band, h,
+                       count(*) OVER (PARTITION BY band, h) AS _n
+                FROM band0
+              ) WHERE _n <= {LSH_MAX_BUCKET}
+            ),
             cand AS (
               SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
               FROM band a JOIN band b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
@@ -405,16 +432,19 @@ def _oracles() -> dict[str, str]:
         """,
         "sequence_packing": f"""
             WITH t AS (
-              SELECT doc_id, {X.token_counts_sql('text')['n_bpe_tokens']} AS n_tokens
+              SELECT doc_id,
+                     ({H.token_hash_sql('CAST(doc_id AS VARCHAR)')} % {PACK_SHARDS}) AS shard,
+                     {X.token_counts_sql('text')['n_bpe_tokens']} AS n_tokens
               FROM documents
             ),
             p AS (
-              SELECT doc_id, n_tokens,
-                     CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) / 512.0) AS BIGINT) AS bin
+              SELECT shard, n_tokens,
+                     CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens)
+                                / {PACK_BUDGET}.0) AS BIGINT) AS bin
               FROM t
             )
-            SELECT bin, COUNT(*) AS n_docs, sum(n_tokens) AS n_tokens
-            FROM p GROUP BY bin ORDER BY bin
+            SELECT shard, bin, COUNT(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM p GROUP BY shard, bin ORDER BY shard, bin
         """,
         "multimodal_meta": f"""
             SELECT doc_id AS asset_id, {kind} AS kind,
@@ -427,7 +457,7 @@ def _oracles() -> dict[str, str]:
               SELECT {kind} AS kind, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
               FROM documents
             )
-            SELECT kind, count(*) AS n_assets, sum(n_bytes) AS total_bytes,
+            SELECT kind, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
                    round(avg(n_bytes), 2) AS mean_bytes
             FROM a GROUP BY kind ORDER BY kind
         """,

@@ -443,27 +443,49 @@ def q_exact_mode_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCORE_CTX_W = 40  # ±chars of context around the detected surface
+
+
 def q_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full scoring pipeline (J2+F8+F11-as-charngram+F12+F13) over
-    doc-transcript mentions. No oracle entry: the hashed char-3-gram
-    cosine kernel (Arrow numpy) is not reasonably SQL-expressible, so the
-    driver records the weaker rows-only check; the kernel itself is
-    unit-tested in tests/test_scoring.py."""
-    from entity_extractor_spark.operators.mentions import extract_mentions
+    """X1/J2/F8/F12/F13: the FULL scoring pipeline — broadcast gazetteer
+    join, keyword heuristic, NER stand-in, Arrow char-3-gram cosine
+    kernel, composite score, likelihood buckets — with an EXACT DuckDB
+    oracle.
+
+    Detection here is deliberately the SQL-expressible substring path
+    (first case-insensitive occurrence per turn + char-window context,
+    the P5/F5 shapes) so that the scoring kernel itself — the Arrow
+    numpy stage that previously had only a rows-only check — is verified
+    value-exactly: the oracle mirrors the hashed byte-3-gram cosine via
+    hex() byte extraction (see `_charngram_sim_sql`). The kernel-based
+    word-boundary scan path stays gated by mention_counts /
+    exact_mode_scan.
+    """
     from entity_extractor_spark.operators.scoring import score_candidates
     import __spark_entry__ as entry_mod
-    import pandas as pd
 
     t = _doc_transcripts(spark, sf_dir)
-    gaz = pd.DataFrame(
-        {
-            "term_id": [g[0] for g in entry_mod.GAZ],
-            "title": [g[1] for g in entry_mod.GAZ],
-            "description": [g[1] for g in entry_mod.GAZ],
-        }
+    terms = [(tid, rx.replace("\\b", ""), title) for tid, title, rx in entry_mod.GAZ]
+    g = spark.createDataFrame(terms, "term_id string, term string, description string")
+    pos = F.instr(F.lower(F.col("text")), F.col("term"))
+    m = (
+        t.crossJoin(F.broadcast(g.select("term_id", "term")))
+        .withColumn("pos", pos)
+        .filter(F.col("pos") > 0)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "term_id",
+            F.col("text").substr(F.col("pos"), F.length("term")).alias("surface"),
+            T.char_window(
+                F.col("text"),
+                F.col("pos"),
+                F.col("pos") + F.length("term") - 1,
+                SCORE_CTX_W,
+            ).alias("context"),
+        )
     )
-    m = extract_mentions(t, gaz)
-    scored = score_candidates(m, spark.createDataFrame(gaz[["term_id", "description"]]))
+    scored = score_candidates(m, g.select("term_id", "description"))
     return scored.select(
         "conv_id",
         "turn_idx",
@@ -471,7 +493,7 @@ def q_scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("similarity", 4).alias("sim"),
         "composite_score",
         "likelihood",
-    ).orderBy("conv_id", "turn_idx", "term_id", "sim")
+    ).orderBy("conv_id", "turn_idx", "term_id")
 
 
 def q_alias_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,6 +691,22 @@ def q_conv_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_digest(m).orderBy("conv_id")
 
 
+def q_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6, non-associative variant: two-stage skew-safe collect_list —
+    the salted template for aggregates map-side combine cannot protect
+    (`operators/graph.py:salted_collect_list`). Deterministic because the
+    final array is sorted and the salt is retry-stable."""
+    from entity_extractor_spark.operators.graph import salted_collect_list
+
+    ev = _load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    out = salted_collect_list(ev, ["user_id"], "event_id")
+    return out.select(
+        "user_id",
+        F.array_join(F.col("event_ids").cast("array<string>"), ",").alias("ids_csv"),
+        F.size("event_ids").cast("long").alias("n_ids"),
+    ).orderBy("user_id")
+
+
 QUERIES = {
     "alias_mention_counts": q_alias_mention_counts,
     "time_buckets": q_time_buckets,
@@ -705,6 +743,7 @@ QUERIES = {
     "cc_components": q_cc_components,
     "predicate_triples": q_predicate_triples,
     "graph_edges": q_graph_edges,
+    "salted_collect": q_salted_collect,
 }
 
 
@@ -717,6 +756,107 @@ def _alias_gaz_sql() -> str:
         al = ", ".join(f"'{a}'" for a in aliases)
         rows.append(f"('{tid}', '{title}', [{al}])")
     return ", ".join(rows)
+
+
+def _scored_candidates_sql() -> str:
+    """DuckDB mirror of the FULL scoring pipeline, including the Arrow
+    hashed char-3-gram cosine kernel (`operators/scoring.py:67-94`).
+
+    Kernel mirror: the Python side hashes utf-8 byte 3-grams of
+    ``lower(s)`` into ``NGRAM_DIM`` buckets and takes the cosine of the
+    integer count vectors. SQL reproduces the bytes exactly via
+    ``hex(encode(lower(s)))`` — byte k = 16*hv(hex[2k-1]) + hv(hex[2k]),
+    where hv(c) = strpos('123456789ABCDEF', c) (0 maps to 0 because
+    strpos returns 0 on miss). All dot/norm sums are integer-valued, so
+    float addition order cannot diverge and the cosine is bit-identical
+    to numpy's (parity asserted in tests/test_scoring.py).
+    """
+    from entity_extractor_spark.operators.scoring import (
+        HEURISTIC_KEYWORDS,
+        NGRAM_DIM,
+        SOMEWHAT_LIKELY_T,
+        VERY_LIKELY_T,
+        WEIGHT_KEYWORDS,
+        WEIGHT_NER,
+        WEIGHT_SIM,
+        _NER_CATEGORY_RE,
+    )
+    import __spark_entry__ as entry_mod
+
+    terms_values = ", ".join(
+        f"('{tid}', '{rx.replace(chr(92) + 'b', '')}', '{title}')"
+        for tid, title, rx in entry_mod.GAZ
+    )
+    w = SCORE_CTX_W
+    kw_list = "[" + ", ".join(f"'{k}'" for k in sorted(HEURISTIC_KEYWORDS)) + "]"
+    hv = "strpos('123456789ABCDEF', substring(hx, {k}, 1))"
+    bv = lambda k: f"({hv.format(k=f'2*({k})-1')} * 16 + {hv.format(k=f'2*({k})')})"  # noqa: E731
+    ids = "conv_id, turn_idx, term_id"
+    return f"""
+        WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
+        g(term_id, term, descr) AS (VALUES {terms_values}),
+        m0 AS (
+          SELECT t.conv_id, t.turn_idx, g.term_id, g.term, g.descr, t.text,
+                 strpos(lower(t.text), g.term) AS pos
+          FROM t CROSS JOIN g
+          WHERE strpos(lower(t.text), g.term) > 0
+        ),
+        m AS (
+          SELECT {ids}, descr,
+                 substring(text, pos, length(term)) AS surface,
+                 substring(text, greatest(1, pos - {w - 1}),
+                           pos + length(term) + {w} - greatest(1, pos - {w - 1})) AS ctx
+          FROM m0
+        ),
+        s AS (
+          SELECT {ids}, 0 AS side,
+                 hex(encode(lower(ctx))) AS hx, octet_length(encode(lower(ctx))) AS nb
+          FROM m
+          UNION ALL
+          SELECT {ids}, 1, hex(encode(lower(descr))), octet_length(encode(lower(descr)))
+          FROM m
+        ),
+        gr AS (
+          SELECT {ids}, side,
+                 (({bv('i')} * 65536 + {bv('i+1')} * 256 + {bv('i+2')}) % {NGRAM_DIM}) AS bucket,
+                 count(*) AS c
+          FROM s, unnest(CASE WHEN nb >= 3 THEN range(1, nb - 1) ELSE [] END) u(i)
+          GROUP BY ALL
+        ),
+        dt AS (
+          SELECT a.conv_id, a.turn_idx, a.term_id, sum(a.c * b.c) AS d
+          FROM gr a JOIN gr b
+            ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.term_id = b.term_id
+           AND a.bucket = b.bucket AND a.side = 0 AND b.side = 1
+          GROUP BY ALL
+        ),
+        nrm AS (SELECT {ids}, side, sqrt(sum(c * c)) AS n FROM gr GROUP BY ALL),
+        sim AS (
+          SELECT m.conv_id, m.turn_idx, m.term_id, m.surface, m.ctx,
+                 CASE WHEN na.n IS NOT NULL AND nb.n IS NOT NULL AND na.n * nb.n > 0
+                      THEN coalesce(dt.d, 0) / (na.n * nb.n) ELSE 0.0 END AS s
+          FROM m
+          LEFT JOIN (SELECT {ids}, n FROM nrm WHERE side = 0) na USING ({ids})
+          LEFT JOIN (SELECT {ids}, n FROM nrm WHERE side = 1) nb USING ({ids})
+          LEFT JOIN dt USING ({ids})
+        ),
+        scored AS (
+          SELECT {ids}, s,
+                 round({WEIGHT_NER} * (CASE WHEN regexp_matches(ctx, '{_NER_CATEGORY_RE}')
+                                             AND surface <> lower(surface)
+                                            THEN 1.0 ELSE 0.0 END)
+                     + {WEIGHT_SIM} * s
+                     + {WEIGHT_KEYWORDS} * least(
+                         len(list_filter({kw_list}, k -> contains(lower(ctx), k))) / 3.0, 1.0),
+                   3) AS composite_score
+          FROM sim
+        )
+        SELECT {ids}, round(s, 4) AS sim, composite_score,
+               CASE WHEN composite_score >= {VERY_LIKELY_T} THEN 'very likely'
+                    WHEN composite_score >= {SOMEWHAT_LIKELY_T} THEN 'somewhat likely'
+                    ELSE 'unlikely' END AS likelihood
+        FROM scored ORDER BY conv_id, turn_idx, term_id
+    """
 
 
 def _oracles() -> dict[str, str]:
@@ -1094,6 +1234,14 @@ def _oracles() -> dict[str, str]:
               FROM w WHERE role = 'assistant' AND prev_role = 'user'
             )
             SELECT subj, pred, obj FROM trip ORDER BY pred, subj, obj
+        """,
+        "scored_candidates": _scored_candidates_sql(),
+        "salted_collect": """
+            SELECT user_id,
+                   array_to_string(list(event_id ORDER BY event_id), ',') AS ids_csv,
+                   COUNT(*) AS n_ids
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id ORDER BY user_id
         """,
         "graph_edges": f"""
             WITH t AS ({_DOC_TRANSCRIPTS_SQL}),

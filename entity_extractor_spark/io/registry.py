@@ -99,13 +99,28 @@ def load_ontosoft_registry(spark: SparkSession, path: str) -> DataFrame:
 
 def union_registries(*registries: DataFrame) -> DataFrame:
     """U1: union + dedup on the canonical (pre-colon) surface, first
-    registry wins (`load_inputs.py:55-65` union semantics)."""
-    out = registries[0]
-    for r in registries[1:]:
-        out = out.unionByName(r)
-    return out.withColumn(
-        "_canon", F.lower(canonical_name(F.col("title")))
-    ).dropDuplicates(["_canon"]).drop("_canon")
+    registry wins (`load_inputs.py:55-65` union semantics).
+
+    The winner is chosen EXPLICITLY via a priority column (argument
+    order) + row_number — ``dropDuplicates(['_canon'])`` keeps an
+    arbitrary row per key after the union shuffle, so a term present in
+    two registries could nondeterministically flip term_id across runs,
+    breaking the determinism contract. term_id is the within-registry
+    tie-break (a registry should not carry one canonical twice, but if
+    it does the choice is still stable).
+    """
+    from pyspark.sql import Window
+
+    out = registries[0].withColumn("_prio", F.lit(0))
+    for i, r in enumerate(registries[1:], start=1):
+        out = out.unionByName(r.withColumn("_prio", F.lit(i)))
+    w = Window.partitionBy("_canon").orderBy("_prio", "term_id")
+    return (
+        out.withColumn("_canon", F.lower(canonical_name(F.col("title"))))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_canon", "_prio", "_rn")
+    )
 
 
 def registry_label_set(gazetteer: DataFrame) -> DataFrame:

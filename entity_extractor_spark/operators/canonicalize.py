@@ -31,10 +31,21 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Min-label propagation CC. ``edges`` is undirected (one row per edge,
-    either orientation); isolated nodes may be absent (callers union them)."""
+    either orientation); isolated nodes may be absent (callers union them).
+
+    Pass ``telemetry={}`` to receive convergence metrics:
+    ``rounds`` (iterations until no label changed, incl. the confirming
+    round), ``converged`` (False iff max_iter was hit) — recorded so a
+    pointer-jumping regression (O(log n) -> O(diameter)) is caught
+    structurally by tests/lineage rather than by a wall-clock timeout.
+    """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -45,7 +56,10 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
+    rounds = 0
+    converged = False
     for _ in range(max_iter):
+        rounds += 1
         # candidate labels flowing along edges: neighbor's current label
         cand = (
             sym.join(labels.withColumnRenamed("node", "a"), "a")
@@ -82,7 +96,11 @@ def connected_components(
         ).first()["c"]
         labels = jumped.drop("_changed")
         if not changed:
+            converged = True
             break
+    if telemetry is not None:
+        telemetry["rounds"] = rounds
+        telemetry["converged"] = converged
     return labels.withColumnRenamed("label", "component")
 
 

@@ -19,14 +19,47 @@ from pyspark.sql import functions as F
 DEFAULT_SALT_BUCKETS = 16
 
 
+def _salt(salt_buckets: int):
+    """Retry-deterministic salt: the physical partition index mod buckets.
+
+    ``spark_partition_id()`` is stable under task retries (a re-executed
+    task recomputes the same partition), unlike
+    ``hash(monotonically_increasing_id())`` whose values depend on the
+    task attempt — which would be row-routing-unsafe for non-associative
+    aggregates. A hot key's rows spread across however many input
+    partitions hold them, which is exactly the skew being defused.
+    """
+    return F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+
+
 def salted_count(df: DataFrame, keys: list[str], salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
     """Two-stage skew-safe count: groupBy(keys + salt) -> groupBy(keys)."""
-    # deterministic salt: spread rows of the same key via a per-row id hash
-    salted = df.withColumn(
-        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
-    )
+    salted = df.withColumn("_salt", _salt(salt_buckets))
     partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
     return partial.groupBy(*keys).agg(F.sum("_partial").alias("weight"))
+
+
+def salted_collect_list(
+    df: DataFrame, keys: list[str], value_col: str, salt_buckets: int = DEFAULT_SALT_BUCKETS
+) -> DataFrame:
+    """Two-stage skew-safe collect for a NON-associative aggregate — the
+    template the salted_count docstring promises.
+
+    Map-side combine does not protect ``collect_list`` (partial lists
+    still concentrate on the key's one reducer), so the partial stage
+    collects per ``(keys, salt)`` and the final stage flattens the
+    per-salt lists. The final array is ``array_sort``-ed, making the
+    merge order-insensitive — the result is deterministic regardless of
+    which salt routed which row, including across task retries.
+    Output column: ``<value_col>s`` (sorted array).
+    """
+    salted = df.withColumn("_salt", _salt(salt_buckets))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.collect_list(value_col).alias("_part")
+    )
+    return partial.groupBy(*keys).agg(
+        F.array_sort(F.flatten(F.collect_list("_part"))).alias(f"{value_col}s")
+    )
 
 
 def build_edges(triples: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:

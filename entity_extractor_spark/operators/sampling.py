@@ -59,37 +59,52 @@ def split_report(df: DataFrame, key: str, by: str | None = None) -> DataFrame:
     return out.groupBy(*cols).agg(F.count(F.lit(1)).alias("n")).orderBy(*cols)
 
 
+N_PACK_SHARDS = 32
+
+
 def pack_sequences(
     docs: DataFrame,
     budget_tokens: int,
     id_col: str = "doc_id",
     text_col: str = "text",
     partition_col: Column | None = None,
+    n_shards: int = N_PACK_SHARDS,
 ) -> DataFrame:
-    """Assign each doc to a packing bin by running token count.
+    """Assign each doc to a packing (shard, bin) by running token count.
 
-    bin = floor(tokens_before_this_doc / budget); docs longer than the
-    budget still get a bin (they'd be chunked downstream by F10). The
-    window is keyed by a constant by default (global packing — fine for
-    bounded partitions); pass ``partition_col`` (e.g. a shard id) to make
-    it embarrassingly parallel at corpus scale.
+    bin = floor(tokens_before_this_doc_in_shard / budget); docs longer
+    than the budget still get a bin (they'd be chunked downstream by
+    F10). Docs are sharded by a content hash of the id into ``n_shards``
+    independent packing streams, each with its own running budget — the
+    window is per-shard, so the sort parallelizes across the cluster
+    instead of funnelling the whole corpus through one task. Each shard's
+    stream wastes at most one partial bin, so fill efficiency is
+    unchanged at corpus scale. Pass ``partition_col`` to shard by an
+    existing column (date, bucket id), or ``n_shards=1`` for exact
+    single-stream global ordering (small inputs only).
+
+    The shard hash is :func:`functions.hashing.token_hash` (md5-based),
+    not ``F.hash`` — cross-engine deterministic, so the DuckDB oracle
+    reproduces the exact same shard assignment.
     """
-    part = partition_col if partition_col is not None else F.lit(0)
+    if partition_col is None:
+        partition_col = F.pmod(token_hash(F.col(id_col).cast("string")), F.lit(n_shards))
     n_tok = token_counts(F.col(text_col))["n_bpe_tokens"]
-    w = Window.partitionBy(part).orderBy(id_col)
+    w = Window.partitionBy(partition_col).orderBy(id_col)
     cum = F.sum(n_tok).over(w)
     return docs.select(
         F.col(id_col),
+        partition_col.cast("long").alias("shard"),
         n_tok.alias("n_tokens"),
         F.floor((cum - n_tok) / F.lit(budget_tokens)).cast("long").alias("bin"),
     )
 
 
-def packing_report(docs: DataFrame, budget_tokens: int) -> DataFrame:
-    """Per-bin fill stats — how efficiently the corpus packs."""
-    packed = pack_sequences(docs, budget_tokens)
+def packing_report(docs: DataFrame, budget_tokens: int, n_shards: int = N_PACK_SHARDS) -> DataFrame:
+    """Per-(shard, bin) fill stats — how efficiently the corpus packs."""
+    packed = pack_sequences(docs, budget_tokens, n_shards=n_shards)
     return (
-        packed.groupBy("bin")
+        packed.groupBy("shard", "bin")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
-        .orderBy("bin")
+        .orderBy("shard", "bin")
     )

@@ -37,8 +37,11 @@ def asof_join(
     """Left rows + latest right row at-or-before each left timestamp.
 
     ``right_cols`` are the right-side payload columns to carry (renamed
-    ``r_<col>``); ``order_col`` breaks exact-timestamp ties within the
-    right side deterministically (latest wins).
+    ``r_<col>``); ``order_col`` names a RIGHT-side column that breaks
+    exact-timestamp ties within the right side deterministically (highest
+    value wins). It is carried through the union under a reserved name
+    (null on left rows), so it resolves regardless of the ``r_<col>``
+    renames.
     """
     rc = right_cols or [c for c in right.columns if c not in (key, ts)]
     lt = left.withColumn("_tag", F.lit(1))
@@ -48,14 +51,17 @@ def asof_join(
         key,
         ts,
         *[F.col(c).alias(f"r_{c}") for c in rc],
+        *([F.col(order_col).alias("_r_ord")] if order_col is not None else []),
     ).withColumn("_tag", F.lit(0))
+    if order_col is not None:
+        lt = lt.withColumn("_r_ord", F.lit(None).cast(right.schema[order_col].dataType))
     for c in left.columns:
         if c not in (key, ts):
             rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     u = lt.unionByName(rt)
     order = [F.col(ts), F.col("_tag")]
     if order_col is not None:
-        order.append(F.coalesce(F.col(order_col), F.lit(None)))
+        order.append(F.col("_r_ord"))
     w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     carried = u.select(
         "*",
@@ -65,7 +71,7 @@ def asof_join(
         ],
         F.max(F.when(F.col("_tag") == 0, F.col(ts))).over(w).alias("_carry_ts"),
     )
-    out = carried.filter(F.col("_tag") == 1).drop("_tag", *[f"r_{c}" for c in rc])
+    out = carried.filter(F.col("_tag") == 1).drop("_tag", "_r_ord", *[f"r_{c}" for c in rc])
     for c in rc:
         out = out.withColumnRenamed(f"_carry_{c}", f"r_{c}")
     return out.withColumnRenamed("_carry_ts", "r_ts")

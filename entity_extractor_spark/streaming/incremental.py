@@ -36,7 +36,17 @@ def incremental_extract(
     max_files_per_trigger: int | None = None,
 ) -> None:
     """Drain all currently-available new transcript files into the
-    mention table, then stop. Idempotent under re-runs (checkpointed)."""
+    mention table, then stop.
+
+    Exactly-once at the table level: each micro-batch OVERWRITES its own
+    ``batch_id=<id>`` subdirectory. foreachBatch is at-least-once (a
+    failure between the write and the checkpoint commit replays the
+    batch), but a replay re-overwrites the same directory with the same
+    rows, so the table never holds duplicate mention rows. Readers see
+    ``batch_id`` as a partition column — free per-batch lineage. At
+    cluster scale the same code targets an Iceberg table with
+    ``overwritePartitions``; the checkpoint moves to durable storage.
+    """
     from entity_extractor_spark.operators.mentions import extract_mentions
 
     reader = (
@@ -47,7 +57,7 @@ def incremental_extract(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         mentions = extract_mentions(batch_df, gazetteer)
-        mentions.write.mode("append").parquet(output_dir)
+        mentions.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
 
     q = (
         reader.writeStream.foreachBatch(process)

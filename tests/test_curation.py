@@ -168,12 +168,27 @@ def test_deterministic_sampling_stability(spark):
     by = {r["s"]: r["count"] for r in splits}
     n = sum(by.values())
     assert set(by) == {"train", "val", "test"} and by["train"] / n > 0.7
-    # packing: bins respect the running-count definition
+    # packing: per-shard bins respect the running-count definition
     packed = pack_sequences(docs.limit(50), 512).collect()
-    bins = {}
-    for r in sorted(packed, key=lambda r: r["doc_id"]):
-        bins.setdefault(r["bin"], 0)
-        bins[r["bin"]] += r["n_tokens"]
-    # every bin except possibly the last was opened before exceeding budget
-    for b, tot in bins.items():
-        assert tot >= 1
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) > 1  # default really shards (not one global stream)
+    for shard, rows in by_shard.items():
+        cum = 0
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            assert r["bin"] == cum // 512, (shard, r)
+            cum += r["n_tokens"]
+
+
+def test_pack_sequences_plan_is_sharded(spark):
+    """The default packing window must NOT be a single-partition sort —
+    the round-1 scale-killer (VERDICT item 3)."""
+    from entity_extractor_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = pack_sequences(docs, 512)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    # opt-in global stream still collapses to one partition
+    plan1 = pack_sequences(docs, 512, n_shards=1)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in plan1 or "hashpartitioning" in plan1

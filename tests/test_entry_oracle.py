@@ -39,6 +39,17 @@ def _compare(a: pd.DataFrame, b: pd.DataFrame, name: str):
     assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
     a, b = _canon(a), _canon(b)
     for c in a.columns:
+        # dtype KIND must agree (int vs float): the driver hashes values
+        # after pandas materialization, so a DuckDB HUGEINT sum (-> float64)
+        # against a Spark BIGINT breaks its hash even when values are equal.
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        NUM = {"i", "u", "f"}
+        if ka in NUM or kb in NUM:
+            assert (ka in {"i", "u"}) == (kb in {"i", "u"}), (
+                f"{name}.{c}: dtype kind mismatch {a[c].dtype} vs {b[c].dtype} "
+                f"(cast the oracle aggregate, e.g. CAST(sum(..) AS BIGINT))"
+            )
+    for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
             if isinstance(x, float) or isinstance(y, float):
@@ -66,11 +77,20 @@ def test_all_queries_match_oracle(spark, duck):
         except AssertionError as e:
             failures.append(str(e))
     assert not failures, "\n".join(failures)
-    # rows-only queries must be deliberate (kernels not SQL-expressible)
-    ROWS_ONLY_OK = {"scored_candidates"}
-    assert missing <= ROWS_ONLY_OK, (
-        f"queries without oracle entries (rows-only checks): {missing - ROWS_ONLY_OK}"
-    )
+    # every declared query must carry an exact oracle (75/75 since round 2)
+    assert not missing, f"queries without oracle entries: {missing}"
+
+
+def test_priority_window_covers_gating_keys():
+    """The driver checks only the FIRST 50 queries() entries; every
+    SURVEY §2-gating key must sit inside that window (round-1 verdict
+    item 1)."""
+    keys = list(entry_mod.queries())
+    window = set(keys[:50])
+    assert set(entry_mod.PRIORITY_KEYS) <= window
+    assert len(entry_mod.PRIORITY_KEYS) == 50
+    # every queries() key has an oracle (exactness contract, 0 rows-only)
+    assert set(entry_mod.queries()) <= set(entry_mod.oracle_sql())
 
 
 def test_entry_smoke(spark):

@@ -113,10 +113,36 @@ def test_build_nodes_and_edges(spark):
 
 def test_connected_components_long_chain(spark):
     """Pointer jumping: a 300-node chain must converge well inside
-    max_iter=25 (O(log n)), with every node labeled by the chain head."""
+    max_iter=25 (O(log n)), with every node labeled by the chain head —
+    asserted STRUCTURALLY via the telemetry round count, so an
+    O(diameter) regression fails the bound, not a wall-clock timeout."""
+    tel: dict = {}
     edges = spark.createDataFrame(
         [(f"n{i:04d}", f"n{i+1:04d}") for i in range(299)], "src string, dst string"
     )
-    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, telemetry=tel).collect()
+    }
     assert len(got) == 300
     assert set(got.values()) == {"n0000"}
+    assert tel["converged"]
+    # one neighbor hop + one pointer jump per round: reach d_r = 2*d_{r-1}+1
+    # = 2^r - 1, so a 299-edge chain needs ceil(log2(300+1)) = 9 rounds
+    # (measured: 9); +1 slack. An O(diameter) regression would need ~300.
+    assert tel["rounds"] <= 10, tel
+
+
+def test_salted_collect_list_matches_plain(spark):
+    from entity_extractor_spark.operators.graph import salted_collect_list
+
+    rows = [("hot", i % 7) for i in range(3000)] + [(f"k{i}", i) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, v int").repartition(8)
+    got = {r["k"]: list(r["vs"]) for r in salted_collect_list(df, ["k"], "v").collect()}
+    exp = {
+        r["k"]: sorted(r["vs"])
+        for r in df.groupBy("k").agg(F.collect_list("v").alias("vs")).collect()
+    }
+    assert got == exp
+    # arrays come out sorted (the property that makes the merge associative)
+    assert all(v == sorted(v) for v in got.values())

@@ -37,6 +37,28 @@ def test_asof_join_semantics(spark):
     assert out[102] == (None, None)  # no right row for user 2
 
 
+def test_asof_join_right_side_tie_break(spark):
+    """order_col names a RIGHT-side payload column; among right rows with
+    the SAME timestamp, the highest order value must win (round-1 ADVICE:
+    the old coalesce no-op / r_-rename resolution bug)."""
+    left = _df(
+        spark, [(1, "2026-01-01 10:00:00", 100)], "user_id long, ts string, event_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = _df(
+        spark,
+        [
+            (1, "2026-01-01 09:00:00", 7, 1),
+            (1, "2026-01-01 09:00:00", 8, 3),  # same ts, highest seq -> wins
+            (1, "2026-01-01 09:00:00", 9, 2),
+        ],
+        "user_id long, ts string, vid long, seq long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_join(left, right, "user_id", right_cols=["vid"], order_col="seq").collect()
+    assert len(out) == 1
+    assert out[0]["r_vid"] == 8
+    assert "_r_ord" not in out[0].asDict()
+
+
 def test_sessionize_gap_rule(spark):
     rows = [
         (1, "2026-01-01 10:00:00"),
