@@ -1,0 +1,137 @@
+"""Custom stateful streaming operators: applyInPandasWithState
+sessionization (state carried across micro-batches) and watermarked
+windowed aggregation."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.streaming.incremental import TRANSCRIPT_SCHEMA  # noqa: F401
+from entity_extractor_spark.streaming.stateful import (
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+EVENT_SCHEMA = "user_id long, ts timestamp"
+
+
+def _write_wave(spark, path, rows):
+    # one file per wave — each wave is exactly one micro-batch
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+
+
+def _drain(df_fn, inp, ckpt, outp):
+    # file sink (not memory): the only sink that supports checkpoint
+    # RECOVERY, which is the state-across-restart property under test
+    q = (
+        df_fn(inp)
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_sessionize_stream_across_batches(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    # wave 1: user 1 has two sessions (10:00/10:10 then 12:00), user 2 one
+    _write_wave(
+        spark,
+        inp,
+        [
+            (1, "2026-01-01 10:00:00"),
+            (1, "2026-01-01 10:10:00"),
+            (1, "2026-01-01 12:00:00"),
+            (2, "2026-01-01 10:00:00"),
+        ],
+    )
+    def build(path):
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+        return sessionize_stream(stream, key="user_id", ts="ts", gap_seconds=1800)
+
+    expected = {
+        (1, "2026-01-01 10:00:00", "2026-01-01 10:10:00", 2),
+        (1, "2026-01-01 12:00:00", "2026-01-01 12:00:00", 1),
+        (2, "2026-01-01 10:00:00", "2026-01-01 10:00:00", 1),
+    }
+    outp = str(tmp_path / "out")
+    # drain 1: the gap rule closes user 1's first session immediately;
+    # user 2's single-event session MAY also close here via event-time
+    # timeout (drain-1's final watermark is 11:50 > its 10:30 timeout);
+    # user 1's 12:00 session must stay open
+    _drain(build, inp, ckpt, outp)
+    first = {
+        (r["key"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert (1, "2026-01-01 10:00:00", "2026-01-01 10:10:00", 2) in first
+    assert first <= expected
+    assert (1, "2026-01-01 12:00:00", "2026-01-01 12:00:00", 1) not in first
+
+    # wave 2: far-future sentinel per user; drain 2 RESUMES from the
+    # checkpoint (state survives restart) and closes the open sessions
+    _write_wave(spark, inp, [(1, "2026-01-02 00:00:00"), (2, "2026-01-02 00:00:00")])
+    _drain(build, inp, ckpt, outp)
+    rows = {
+        (r["key"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert first <= rows  # append-only sink: drain-1 output preserved
+    assert rows == expected
+    # matches the batch operator's session boundaries (streaming twin)
+    from entity_extractor_spark.operators.temporal import sessionize
+
+    batch = (
+        sessionize(spark.read.parquet(inp), "user_id", gap_seconds=1800)
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count(F.lit(1)).alias("n"))
+    )
+    closed_batch = {
+        (r["user_id"], str(r["s"]), str(r["e"]), r["n"])
+        for r in batch.collect()
+        # drop each user's final (still-open in streaming terms) session
+        if str(r["s"]) < "2026-01-02"
+    }
+    assert rows == closed_batch
+
+
+def test_windowed_event_counts_watermark(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    _write_wave(
+        spark,
+        inp,
+        [
+            (1, "2026-01-01 10:05:00"),
+            (2, "2026-01-01 10:55:00"),
+            (1, "2026-01-01 11:05:00"),
+        ],
+    )
+    def build(path):
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+        return windowed_event_counts(
+            stream, group_col="user_id", ts="ts", window="1 hour", watermark="30 minutes"
+        )
+
+    outp = str(tmp_path / "out")
+    _drain(build, inp, ckpt, outp)
+    # sentinel far past the watermark horizon finalizes the earlier windows
+    _write_wave(spark, inp, [(1, "2026-01-01 15:00:00")])
+    _drain(build, inp, ckpt, outp)
+    rows = {
+        (str(r["window_start"]), r["user_id"], r["n"])
+        for r in spark.read.parquet(outp).collect()
+    }
+    # finalized windows only (the 15:00 sentinel window is still open)
+    assert rows == {
+        ("2026-01-01 10:00:00", 1, 1),
+        ("2026-01-01 10:00:00", 2, 1),
+        ("2026-01-01 11:00:00", 1, 1),
+    }
