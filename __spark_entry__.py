@@ -400,9 +400,9 @@ PRIORITY_KEYS = [
     # training-data curation suite (first-class per the judge)
     "dedup_exact", "minhash_signature", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash_fingerprint", "simhash_pairs", "embedding_dups", "ann_brute_topk",
-    "ann_lsh_topk", "tfidf_topk", "lang_id_counts", "quality_scores",
-    "token_stats", "doc_fingerprint", "multimodal_meta", "det_sample",
-    "dataset_split",
+    "ann_lsh_topk", "ann_ivf_topk", "tfidf_topk", "lang_id_counts", "quality_scores",
+    "token_stats", "doc_fingerprint", "multimodal_meta",
+    "dataset_split",  # det_sample (same content-hash machinery) rotates out; r01-green
     # kernel / grouped / temporal flagships
     "exact_mode_scan", "conv_digest", "asof_join", "sessionize",
 ]

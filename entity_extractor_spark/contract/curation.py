@@ -94,6 +94,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(e, q, dim=EMB_DIM, k=ANN_K).orderBy("query_id", "rank")
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return S.ivf_topk(e, q, dim=EMB_DIM, k=ANN_K).orderBy("query_id", "rank")
+
+
 # --------------------------------------------------------------------------- text analysis
 
 
@@ -197,6 +203,7 @@ QUERIES = {
     "embedding_dups": q_embedding_dups,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "tfidf_topk": q_tfidf_topk,
     "lang_id_counts": q_lang_id_counts,
     "quality_scores": q_quality_scores,
@@ -307,6 +314,35 @@ def _ann_scored_cte(bucketed: bool) -> str:
         )"""
 
 
+def _ann_ivf_cte() -> str:
+    """IVF oracle: corpus cell = argmax centroid dot (first-index
+    tie-break, 1-indexed lists); queries probe their best N_PROBE cells
+    via a row_number over (score DESC, cid)."""
+    cs_emb = S.centroid_scores_sql("embedding", EMB_DIM)
+    return f"""
+        b AS (
+          SELECT vec_id, embedding,
+                 CAST(list_position(cs, list_aggregate(cs, 'max')) - 1 AS INT) AS cell
+          FROM (SELECT vec_id, embedding, {cs_emb} AS cs FROM embeddings)
+        ),
+        qs AS (
+          SELECT vec_id AS query_id, embedding AS qv, {cs_emb} AS qsc
+          FROM embeddings WHERE vec_id < {ANN_QUERY_MAX_ID}
+        ),
+        qp AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT query_id, qv, CAST(cid AS INT) AS cell,
+                   row_number() OVER (PARTITION BY query_id ORDER BY qsc[cid + 1] DESC, cid) AS rn
+            FROM qs, unnest(range(0, {S.N_CENTROIDS})) u(cid)
+          ) WHERE rn <= {S.N_PROBE}
+        ),
+        s AS (
+          SELECT qp.query_id, b.vec_id AS neighbor_id,
+                 round({S.cosine_sql('qp.qv', 'b.embedding')}, 6) AS cos
+          FROM b JOIN qp ON b.cell = qp.cell AND b.vec_id <> qp.query_id
+        )"""
+
+
 _ANN_TAIL = f"""
         SELECT query_id, rank, neighbor_id, cos FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
@@ -391,6 +427,7 @@ def _oracles() -> dict[str, str]:
         """,
         "ann_brute_topk": f"WITH {_ann_scored_cte(False)} {_ANN_TAIL}",
         "ann_lsh_topk": f"WITH {_ann_scored_cte(True)} {_ANN_TAIL}",
+        "ann_ivf_topk": f"WITH {_ann_ivf_cte()} {_ANN_TAIL}",
         "tfidf_topk": __import__(
             "entity_extractor_spark.operators.tfidf", fromlist=["tfidf_topk_sql"]
         ).tfidf_topk_sql(TFIDF_QUERY_IDS, ANN_K),

@@ -773,13 +773,13 @@ def _scored_candidates_sql() -> str:
     """
     from entity_extractor_spark.operators.scoring import (
         HEURISTIC_KEYWORDS,
-        NGRAM_DIM,
         SOMEWHAT_LIKELY_T,
         VERY_LIKELY_T,
         WEIGHT_KEYWORDS,
         WEIGHT_NER,
         WEIGHT_SIM,
         _NER_CATEGORY_RE,
+        charngram_cosine_sql,
     )
     import __spark_entry__ as entry_mod
 
@@ -789,9 +789,10 @@ def _scored_candidates_sql() -> str:
     )
     w = SCORE_CTX_W
     kw_list = "[" + ", ".join(f"'{k}'" for k in sorted(HEURISTIC_KEYWORDS)) + "]"
-    hv = "strpos('123456789ABCDEF', substring(hx, {k}, 1))"
-    bv = lambda k: f"({hv.format(k=f'2*({k})-1')} * 16 + {hv.format(k=f'2*({k})')})"  # noqa: E731
     ids = "conv_id, turn_idx, term_id"
+    cos_rel = charngram_cosine_sql(
+        "SELECT * FROM m", ["conv_id", "turn_idx", "term_id"], "ctx", "descr"
+    )
     return f"""
         WITH t AS ({_DOC_TRANSCRIPTS_SQL}),
         g(term_id, term, descr) AS (VALUES {terms_values}),
@@ -808,37 +809,9 @@ def _scored_candidates_sql() -> str:
                            pos + length(term) + {w} - greatest(1, pos - {w - 1})) AS ctx
           FROM m0
         ),
-        s AS (
-          SELECT {ids}, 0 AS side,
-                 hex(encode(lower(ctx))) AS hx, octet_length(encode(lower(ctx))) AS nb
-          FROM m
-          UNION ALL
-          SELECT {ids}, 1, hex(encode(lower(descr))), octet_length(encode(lower(descr)))
-          FROM m
-        ),
-        gr AS (
-          SELECT {ids}, side,
-                 (({bv('i')} * 65536 + {bv('i+1')} * 256 + {bv('i+2')}) % {NGRAM_DIM}) AS bucket,
-                 count(*) AS c
-          FROM s, unnest(CASE WHEN nb >= 3 THEN range(1, nb - 1) ELSE [] END) u(i)
-          GROUP BY ALL
-        ),
-        dt AS (
-          SELECT a.conv_id, a.turn_idx, a.term_id, sum(a.c * b.c) AS d
-          FROM gr a JOIN gr b
-            ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.term_id = b.term_id
-           AND a.bucket = b.bucket AND a.side = 0 AND b.side = 1
-          GROUP BY ALL
-        ),
-        nrm AS (SELECT {ids}, side, sqrt(sum(c * c)) AS n FROM gr GROUP BY ALL),
         sim AS (
-          SELECT m.conv_id, m.turn_idx, m.term_id, m.surface, m.ctx,
-                 CASE WHEN na.n IS NOT NULL AND nb.n IS NOT NULL AND na.n * nb.n > 0
-                      THEN coalesce(dt.d, 0) / (na.n * nb.n) ELSE 0.0 END AS s
-          FROM m
-          LEFT JOIN (SELECT {ids}, n FROM nrm WHERE side = 0) na USING ({ids})
-          LEFT JOIN (SELECT {ids}, n FROM nrm WHERE side = 1) nb USING ({ids})
-          LEFT JOIN dt USING ({ids})
+          SELECT m.conv_id, m.turn_idx, m.term_id, m.surface, m.ctx, c.cos AS s
+          FROM m JOIN {cos_rel} c USING ({ids})
         ),
         scored AS (
           SELECT {ids}, s,

@@ -94,6 +94,66 @@ def charngram_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(sims)
 
 
+def charngram_cosine_sql(
+    rel: str, id_cols: list[str], a: str, b: str, dim: int = NGRAM_DIM
+) -> str:
+    """DuckDB twin of :func:`charngram_cosine`, bit-identical to the
+    numpy kernel.
+
+    ``rel`` is any SELECT producing ``id_cols`` plus string columns
+    ``a`` and ``b``; the result is a parenthesized subquery yielding
+    ``(*id_cols, cos DOUBLE)`` one row per input row. The kernel hashes
+    utf-8 byte 3-grams of ``lower(s)`` into ``dim`` buckets; SQL
+    reproduces the bytes via ``hex(encode(lower(s)))`` — byte k =
+    16*hv(hex[2k-1]) + hv(hex[2k]) with hv(c) =
+    strpos('123456789ABCDEF', c) ('0' maps to 0 because strpos returns
+    0 on miss). Dot/norm sums are integer-valued, so float addition
+    order cannot diverge (parity on adversarial random inputs:
+    tests/test_cross_engine_parity.py).
+    """
+    ids = ", ".join(id_cols)
+    hv = "strpos('123456789ABCDEF', substring(hx, {k}, 1))"
+
+    def bv(k: str) -> str:
+        return f"({hv.format(k=f'2*({k})-1')} * 16 + {hv.format(k=f'2*({k})')})"
+
+    on = " AND ".join(f"ga.{c} = gb.{c}" for c in id_cols)
+    ga_ids = ", ".join(f"ga.{c}" for c in id_cols)
+    i_ids = ", ".join(f"i.{c}" for c in id_cols)
+    return f"""(
+        WITH _cc_in AS ({rel}),
+        _cc_s AS (
+          SELECT {ids}, 0 AS side,
+                 hex(encode(lower({a}))) AS hx, octet_length(encode(lower({a}))) AS nb
+          FROM _cc_in
+          UNION ALL
+          SELECT {ids}, 1, hex(encode(lower({b}))), octet_length(encode(lower({b})))
+          FROM _cc_in
+        ),
+        _cc_gr AS (
+          SELECT {ids}, side,
+                 (({bv('_cc_i')} * 65536 + {bv('_cc_i+1')} * 256 + {bv('_cc_i+2')}) % {dim}) AS bucket,
+                 count(*) AS c
+          FROM _cc_s, unnest(CASE WHEN nb >= 3 THEN range(1, nb - 1) ELSE [] END) u(_cc_i)
+          GROUP BY ALL
+        ),
+        _cc_dt AS (
+          SELECT {ga_ids}, sum(ga.c * gb.c) AS d
+          FROM _cc_gr ga JOIN _cc_gr gb
+            ON {on} AND ga.bucket = gb.bucket AND ga.side = 0 AND gb.side = 1
+          GROUP BY ALL
+        ),
+        _cc_nrm AS (SELECT {ids}, side, sqrt(sum(c * c)) AS n FROM _cc_gr GROUP BY ALL)
+        SELECT {i_ids},
+               CASE WHEN na.n IS NOT NULL AND nb.n IS NOT NULL AND na.n * nb.n > 0
+                    THEN coalesce(dt.d, 0) / (na.n * nb.n) ELSE 0.0 END AS cos
+        FROM _cc_in AS i
+        LEFT JOIN (SELECT {ids}, n FROM _cc_nrm WHERE side = 0) na USING ({ids})
+        LEFT JOIN (SELECT {ids}, n FROM _cc_nrm WHERE side = 1) nb USING ({ids})
+        LEFT JOIN _cc_dt dt USING ({ids})
+    )"""
+
+
 def composite_score(ner: Column, similarity: Column, n_keywords: Column) -> Column:
     """F12: round(0.5*ner + 0.3*sim + 0.2*min(kw/3,1), 3); null sim -> 0."""
     return F.round(

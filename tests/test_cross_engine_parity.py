@@ -125,3 +125,42 @@ def test_truncate_parity(spark, duck, texts):
     sv = _spark_eval(spark, texts, lambda t: T.truncate_ellipsis(t, 20))
     dv = _duck_eval(duck, texts, T.truncate_ellipsis_sql("__T__", 20))
     _compare(sv, dv, texts, "truncate")
+
+
+def test_charngram_cosine_parity(spark, duck, texts):
+    """The scored_candidates oracle primitive: the numpy hashed byte-
+    3-gram cosine kernel vs its hex-trick SQL mirror must agree EXACTLY
+    (==, not approx) on adversarial random pairs incl. multi-byte
+    utf-8, empty, and sub-3-byte strings."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_spark.operators.scoring import (
+        charngram_cosine,
+        charngram_cosine_sql,
+    )
+
+    pairs = pd.DataFrame(
+        {"i": range(len(texts)), "a": texts, "b": list(reversed(texts))}
+    )
+    sdf = spark.createDataFrame(pairs)
+    sv = [
+        r["c"]
+        for r in sdf.select("i", charngram_cosine(F.col("a"), F.col("b")).alias("c"))
+        .orderBy("i")
+        .collect()
+    ]
+    duck.register("cc_pairs", pairs)
+    dv = [
+        r[1]
+        for r in duck.execute(
+            "SELECT i, cos FROM "
+            + charngram_cosine_sql("SELECT i, a, b FROM cc_pairs", ["i"], "a", "b")
+            + " ORDER BY i"
+        ).fetchall()
+    ]
+    bad = [
+        (t_a, t_b, s, d)
+        for t_a, t_b, s, d in zip(pairs["a"], pairs["b"], sv, dv)
+        if s != d
+    ]
+    assert not bad, f"{len(bad)} divergences, first 3: {bad[:3]}"

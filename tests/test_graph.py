@@ -79,6 +79,25 @@ def test_co_mentions_and_all_triples(spark):
     assert bad == 0  # unordered pair canonical form
 
 
+def test_co_mention_pairs_exact(spark):
+    """Grouped pair expansion: exact pair set, i<j ordering, and
+    entity-map collapse (two terms -> one entity yields no self-pair)."""
+    m = spark.createDataFrame(
+        [("c1", 0, "A"), ("c1", 0, "B"), ("c1", 0, "C"), ("c1", 1, "A"), ("c2", 0, "B")],
+        "conv_id string, turn_idx int, term_id string",
+    )
+    got = {
+        (r["subj"], r["obj"], r["conv_id"], r["turn_idx"])
+        for r in co_mention_triples(m).collect()
+    }
+    assert got == {("A", "B", "c1", 0), ("A", "C", "c1", 0), ("B", "C", "c1", 0)}
+    emap = spark.createDataFrame(
+        [("B", "X"), ("C", "X")], "term_id string, entity_id string"
+    )
+    got2 = {(r["subj"], r["obj"]) for r in co_mention_triples(m, emap).collect()}
+    assert got2 == {("A", "X")}
+
+
 def test_salted_count_equals_plain_groupby(spark):
     # skewed: one hot key with 5000 rows, 50 cold keys
     rows = [("hot",)] * 5000 + [(f"k{i}",) for i in range(50)]

@@ -90,6 +90,48 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_co_mentions_single_exchange_no_join(spark):
+    """Grouped pair expansion: mention rows cross exactly ONE exchange
+    (the per-turn groupBy); there must be no self-join in the plan."""
+    from entity_extractor_spark.operators.predicates import co_mention_triples
+
+    m = spark.createDataFrame(
+        [("c1", 0, "A"), ("c1", 0, "B")], "conv_id string, turn_idx int, term_id string"
+    )
+    plan = P.formatted_plan(co_mention_triples(m))
+    assert P.count_exchanges(plan) == 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_scored_candidates_plan(spark):
+    """Contract scoring query: gazetteer joins stay broadcast and the
+    char-ngram kernel is ONE Arrow-batched Python stage (a decay to
+    per-row BatchEvalPython fails here)."""
+    from entity_extractor_spark.contract.relational import q_scored_candidates
+
+    import re
+
+    plan = P.formatted_plan(q_scored_candidates(spark, SF_DIR))
+    assert P.has_broadcast_hash_join(plan), plan
+    # exactly one ArrowEvalPython NODE (formatted plans print each node
+    # twice: once in the tree, once in the detail section)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    # the 5-row term fan-out must be a BROADCAST nested-loop with the
+    # instr() condition evaluated in-join — never a plain cartesian
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_salted_collect_is_two_stage(spark):
+    """salted_collect_list: partial collect over (keys, salt) then final
+    merge over keys — two aggregate exchanges, no single-stage collect."""
+    from entity_extractor_spark.operators.graph import salted_collect_list
+
+    df = spark.createDataFrame([("k", 1)], "k string, v int")
+    plan = P.formatted_plan(salted_collect_list(df, ["k"], "v"))
+    assert P.count_exchanges(plan) == 2, plan
+
+
 def test_lsh_topk_no_cartesian(spark):
     """LSH ANN must join on bucket, never cross-join the corpus."""
     from entity_extractor_spark.operators.simsearch import lsh_topk
@@ -98,3 +140,22 @@ def test_lsh_topk_no_cartesian(spark):
     q = e.filter(F.col("vec_id") < 3)
     plan = P.formatted_plan(lsh_topk(e, q, dim=64))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_topk_no_cartesian_and_recall(spark):
+    """IVF ANN joins on cell only; probing more cells can only improve
+    recall vs 1-probe (monotonicity sanity on real embeddings)."""
+    from entity_extractor_spark.operators.simsearch import brute_force_topk, ivf_topk
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    plan = P.formatted_plan(ivf_topk(e, q, dim=64))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(e, q, k=5).collect()}
+    got1 = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(e, q, dim=64, n_probe=1).collect()}
+    got4 = {(r["query_id"], r["neighbor_id"]) for r in ivf_topk(e, q, dim=64, n_probe=4).collect()}
+    r1 = len(got1 & exact) / len(exact)
+    r4 = len(got4 & exact) / len(exact)
+    assert r4 >= r1  # recall monotone in n_probe
+    assert r4 > 0  # probing 1/4 of the cells finds real neighbors
