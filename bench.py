@@ -47,6 +47,11 @@ HEADLINE = [
     "simhash_fingerprint",
     "quality_scores",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "sequence_packing",
+    # round-2 operators
+    "scored_candidates",
+    "salted_collect",
 ]
 
 

@@ -89,3 +89,88 @@ def run_pipeline(
     runner.write_manifest()
     out["lineage"] = runner.lineage()
     return out
+
+
+def curate_documents(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_root: str,
+    quality_min: float = 0.3,
+    near_dup_threshold: float = 0.7,
+    budget_tokens: int = 2048,
+) -> dict[str, DataFrame]:
+    """Training-data curation pipeline over a documents table: exact
+    dedup -> near-dup prune (MinHash LSH) -> quality filter ->
+    deterministic train/val/test split -> sequence packing of the train
+    split. Each stage is a resumable StageRunner materialization with
+    per-partition lineage — the corpus-prep twin of :func:`run_pipeline`.
+
+    Near-dup pruning keeps the lowest doc_id of every verified pair
+    (pairs are emitted i < j, so dropping all j-sides is deterministic
+    and chain-safe: in a chain a-b-c both b and c drop, a survives).
+
+    Scale shape at 100 TB: fingerprint/quality/split are pure map stages
+    (predicate-pushdown friendly, zero shuffle); exact dedup shuffles
+    once on the uniform md5 key; the near-dup join is banded with the
+    hot-bucket guard; packing windows per content-hash shard. No stage
+    collects to the driver.
+    """
+    from entity_extractor_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from entity_extractor_spark.operators.sampling import assign_split, pack_sequences
+    from entity_extractor_spark.operators.textstats import quality_score
+
+    runner = StageRunner(spark, out_root)
+    params = {
+        "quality_min": quality_min,
+        "near_dup_threshold": near_dup_threshold,
+        "budget_tokens": budget_tokens,
+    }
+
+    survivors = runner.run(
+        "exact_dedup",
+        lambda: docs.join(
+            exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+        ),
+        params=params,
+        key_col="doc_id",
+    )
+
+    def _near_dedup() -> DataFrame:
+        pairs = minhash_lsh_pairs(survivors, threshold=near_dup_threshold)
+        drop = pairs.select(F.col("j").alias("doc_id")).distinct()
+        return survivors.join(drop, "doc_id", "left_anti")
+
+    near_deduped = runner.run("near_dedup", _near_dedup, params=params, key_col="doc_id")
+
+    filtered = runner.run(
+        "quality_filter",
+        lambda: near_deduped.withColumn("quality", quality_score(F.col("text"))).filter(
+            F.col("quality") >= quality_min
+        ),
+        params=params,
+        key_col="doc_id",
+    )
+
+    split = runner.run(
+        "split",
+        lambda: filtered.withColumn("split", assign_split(F.col("doc_id"))),
+        params=params,
+        key_col="doc_id",
+    )
+
+    packed = runner.run(
+        "packed",
+        lambda: pack_sequences(split.filter(F.col("split") == "train"), budget_tokens),
+        params=params,
+        key_col="doc_id",
+    )
+
+    runner.write_manifest()
+    return {
+        "survivors": survivors,
+        "near_deduped": near_deduped,
+        "filtered": filtered,
+        "split": split,
+        "packed": packed,
+        "lineage": runner.lineage(),
+    }

@@ -109,3 +109,39 @@ def test_streaming_incremental(spark, corpus, tmp_path):
     # re-run with nothing new is a no-op
     incremental_extract(spark, inp, gaz, outp, ckpt)
     assert spark.read.parquet(outp).count() == n2
+
+
+def test_curate_documents_end_to_end(spark, tmp_path):
+    """Curation pipeline: stage monotonicity, packing validity, resume
+    (second run skips every stage and returns identical tables)."""
+    import json as _json
+
+    from entity_extractor_spark.pipeline import curate_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = str(tmp_path / "curate")
+    out = curate_documents(spark, docs, root, quality_min=0.3)
+    n_docs = docs.count()
+    n_surv = out["survivors"].count()
+    n_near = out["near_deduped"].count()
+    n_filt = out["filtered"].count()
+    assert n_docs >= n_surv >= n_near >= n_filt > 0
+    # split covers the filtered set exactly, with all three labels possible
+    split_counts = {r["split"]: r["n"] for r in
+                    out["split"].groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(split_counts.values()) == n_filt
+    assert split_counts.get("train", 0) > 0
+    # packed: only train docs, valid per-shard bins
+    assert out["packed"].count() == split_counts["train"]
+    assert out["packed"].filter(F.col("bin") < 0).count() == 0
+    # lineage covers every stage
+    stages = {r["stage"] for r in out["lineage"].select("stage").distinct().collect()}
+    assert {"exact_dedup", "near_dedup", "quality_filter", "split", "packed"} <= stages
+    # resume: identical params -> every stage skipped, same outputs
+    out2 = curate_documents(spark, docs, root, quality_min=0.3)
+    assert out2["filtered"].count() == n_filt
+    manifest = _json.loads(open(f"{root}/_RUN_MANIFEST.json").read())
+    assert all(m["skipped"] for m in manifest["metrics"])
+    # changed params -> stages re-run
+    out3 = curate_documents(spark, docs, root, quality_min=0.5)
+    assert out3["filtered"].count() <= n_filt

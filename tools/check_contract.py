@@ -31,6 +31,12 @@ def compare(a, b, name):
         return f"{name}: rows {len(a)} vs {len(b)}"
     a, b = canon(a), canon(b)
     for c in a.columns:
+        # dtype KIND must agree (int vs float): the driver's value hash is
+        # dtype-sensitive (HUGEINT sums materialize as float64 in pandas)
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if (ka in "iuf" or kb in "iuf") and (ka in "iu") != (kb in "iu"):
+            return f"{name}.{c}: dtype kind mismatch {a[c].dtype} vs {b[c].dtype}"
+    for c in a.columns:
         for i, (x, y) in enumerate(zip(a[c].tolist(), b[c].tolist())):
             if isinstance(x, float) or isinstance(y, float):
                 fx = float("nan") if x is None else float(x)
