@@ -86,6 +86,76 @@ def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
     return assets.select("asset_id", "kind", "payload").mapInPandas(decode, DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = "asset_id long, kind string, width int, height int, payload binary"
+
+
+def resize_assets(assets: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = True) -> DataFrame:
+    """Resize stage: payload -> fixed-dimension payload (the model-input
+    normalization step of an image pipeline). Fake path: deterministic
+    byte subsampling to ``target_w * target_h // 64`` bytes (output size
+    scales with target area, content is a pure function of input bytes);
+    real path raises at the exact PIL/cv2 call site. One Arrow batch at
+    a time; the output payload is the ONLY binary column carried forward.
+    """
+    stride = 64
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_len = max(1, target_w * target_h // stride)
+        for pdf in batches:
+            rows = []
+            for asset_id, kind, payload in zip(
+                pdf["asset_id"].values, pdf["kind"].values, pdf["payload"].values
+            ):
+                b = bytes(payload) if payload is not None else b""
+                if not fake:
+                    raise NotImplementedError(
+                        "real resize requires PIL/cv2; not available in this environment"
+                    )
+                step = max(1, len(b) // out_len)
+                rows.append((int(asset_id), kind, target_w, target_h, b[::step][:out_len]))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "kind", "width", "height", "payload"]
+            )
+
+    return assets.select("asset_id", "kind", "payload").mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "asset_id long, frame_idx int, ts_ms long, frame binary"
+
+
+def sample_frames(
+    assets: DataFrame, every_ms: int = 1000, max_frames: int = 8, fake: bool = True
+) -> DataFrame:
+    """Frame-sampling stage for video/audio payloads: flatMap shape — one
+    OUTPUT ROW PER SAMPLED FRAME (X5 fan-out over mapInPandas), so a
+    10^12-asset corpus parallelizes per input partition and downstream
+    stages see frames as plain rows. Fake path: the i-th frame is a
+    deterministic byte slice of the payload with a synthetic timestamp;
+    real path raises at the pyav/ffmpeg call site. Non-temporal kinds
+    (images) emit exactly one frame.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, kind, payload in zip(
+                pdf["asset_id"].values, pdf["kind"].values, pdf["payload"].values
+            ):
+                b = bytes(payload) if payload is not None else b""
+                if not fake:
+                    raise NotImplementedError(
+                        "real frame sampling requires pyav/ffmpeg; "
+                        "not available in this environment"
+                    )
+                n = 1 if kind == "image" else min(max_frames, 1 + len(b) % max_frames)
+                for i in range(n):
+                    lo = (i * max(1, len(b) // max(n, 1))) if b else 0
+                    rows.append((int(asset_id), i, i * every_ms, b[lo : lo + 64]))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "ts_ms", "frame"])
+
+    return assets.select("asset_id", "kind", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
 def asset_metadata_report(assets: DataFrame) -> DataFrame:
     """Per-kind size stats — metadata-only plan; the blob column is pruned
     from the scan (verify via .explain ReadSchema)."""

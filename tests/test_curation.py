@@ -192,3 +192,41 @@ def test_pack_sequences_plan_is_sharded(spark):
     # opt-in global stream still collapses to one partition
     plan1 = pack_sequences(docs, 512, n_shards=1)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" in plan1 or "hashpartitioning" in plan1
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize/frame-sample plumbing: schemas, determinism, fan-out shape,
+    and the stubbed real-codec path."""
+    from entity_extractor_spark.operators.multimodal import (
+        attach_payloads,
+        resize_assets,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    assets = attach_payloads(docs)
+
+    resized = resize_assets(assets, target_w=32, target_h=32).collect()
+    assert len(resized) == 20
+    assert all(r["width"] == 32 and r["height"] == 32 for r in resized)
+    out_len = 32 * 32 // 64
+    assert all(len(r["payload"]) <= out_len for r in resized)
+    # deterministic: same input -> same bytes
+    again = {r["asset_id"]: bytes(r["payload"]) for r in resize_assets(assets, 32, 32).collect()}
+    assert all(bytes(r["payload"]) == again[r["asset_id"]] for r in resized)
+
+    frames = sample_frames(assets, max_frames=4).collect()
+    by_asset: dict[int, list] = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    kinds = {r["asset_id"]: r["kind"] for r in assets.select("asset_id", "kind").collect()}
+    for aid, rows in by_asset.items():
+        assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == list(range(len(rows)))
+        if kinds[aid] == "image":
+            assert len(rows) == 1  # non-temporal kinds emit one frame
+        assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in rows)
+
+    with pytest.raises(Exception, match="NotImplementedError|real resize"):
+        resize_assets(assets, fake=False).collect()
+    with pytest.raises(Exception, match="NotImplementedError|real frame"):
+        sample_frames(assets, fake=False).collect()
