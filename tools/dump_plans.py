@@ -34,6 +34,18 @@ key + payload columns. On Iceberg the same plan triggers dynamic file pruning.""
     "salted_edges": """Skew-safe weight aggregation. Wanted shape: two HashAggregate
 pairs (partial/final over (src,dst,salt), then (src,dst)) — the salt bounds any
 single reducer's share of a hot entity; AQE may coalesce the small final stage.""",
+    "co_mentions": """Same-turn entity pairs (round 2). Wanted shape: ONE Exchange
+(the per-turn groupBy/collect_set) then Generate (the in-codegen pair
+expansion) — no SortMergeJoin/ShuffledHashJoin: the old self-join shuffled
+every mention row twice. Enforced by test_plans.py.""",
+    "ivf_topk": """IVF ANN probe (round 2). Wanted shape: corpus side Project-only
+(cell assignment is a literal-centroid fold, no shuffle), query side broadcast
+with cell explode, BroadcastHashJoin on cell — never a cartesian. The cell id
+is the Iceberg partition key at corpus scale, so each probe is a pruned scan.""",
+    "pack_sequences": """Sharded sequence packing (round 2 fix of the round-1
+scale-killer). Wanted shape: the running-sum Window exchanges on the
+content-hash shard expression — NOT SinglePartition; 32 independent packing
+streams sort in parallel. Enforced by test_curation.py.""",
 }
 
 
@@ -76,6 +88,18 @@ def main() -> None:
             ["src", "dst"],
         ),
     }
+
+    from entity_extractor_spark.operators.predicates import co_mention_triples
+    from entity_extractor_spark.operators.sampling import pack_sequences
+    from entity_extractor_spark.operators.simsearch import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    m = spark.createDataFrame(
+        [("c1", 0, "A"), ("c1", 0, "B")], "conv_id string, turn_idx int, term_id string"
+    )
+    plans["co_mentions"] = co_mention_triples(m)
+    plans["ivf_topk"] = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), dim=64)
+    plans["pack_sequences"] = pack_sequences(docs, 512)
 
     out = [
         "# PLANS — physical plans of the flagship stages",
