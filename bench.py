@@ -147,8 +147,15 @@ def main() -> None:
     def kg():
         # materialize mentions once (the real pipeline checkpoints this
         # stage too) — all_triples references it from three subtrees and
-        # would otherwise re-run the Python scan per branch
-        m = dedup_mentions(extract_mentions(transcripts, gaz)).localCheckpoint(eager=True)
+        # would otherwise re-run the Python scan per branch. Checkpoint
+        # only the triple-relevant key columns: the ~1 KB context blobs
+        # never transit this barrier (measured small here, decisive at
+        # corpus scale).
+        m = (
+            dedup_mentions(extract_mentions(transcripts, gaz))
+            .select("conv_id", "turn_idx", "term_id")
+            .localCheckpoint(eager=True)
+        )
         return build_edges(all_triples(transcripts, m))
 
     _materialize(kg())

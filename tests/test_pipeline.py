@@ -59,6 +59,27 @@ def test_pipeline_end_to_end_and_resume(spark, corpus, tmp_path_factory):
     assert out3["mentions"].count() <= n_mentions
 
 
+def test_pipeline_resume_after_mid_run_crash(spark, corpus, tmp_path_factory):
+    """Crash simulation: a stage directory left WITHOUT its _SUCCESS
+    marker (killed mid-write) must be recomputed on resume, while every
+    completed upstream stage is skipped — the reference's resume-flag
+    semantics (`run_extraction.py:253-260`) at stage granularity."""
+    transcripts, gaz = corpus
+    root = str(tmp_path_factory.mktemp("crash"))
+    out = run_pipeline(spark, transcripts, gaz, root)
+    n_triples = out["triples"].count()
+    # simulate dying between the triples write and its commit
+    os.remove(os.path.join(root, "triples", "_SUCCESS"))
+
+    out2 = run_pipeline(spark, transcripts, gaz, root)
+    with open(os.path.join(root, "_RUN_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    by = {m["stage"]: m["skipped"] for m in manifest["metrics"]}
+    assert by["mentions"] is True  # completed upstream work not redone
+    assert by["triples"] is False  # incomplete stage recomputed
+    assert out2["triples"].count() == n_triples  # identical result
+
+
 def test_sinks(spark, corpus, tmp_path):
     transcripts, gaz = corpus
     from entity_extractor_spark.operators.mentions import extract_mentions
