@@ -403,8 +403,9 @@ PRIORITY_KEYS = [
     "ann_lsh_topk", "ann_ivf_topk", "tfidf_topk", "lang_id_counts", "quality_scores",
     "token_stats", "doc_fingerprint", "multimodal_meta",
     "dataset_split",  # det_sample (same content-hash machinery) rotates out; r01-green
-    # kernel / grouped / temporal flagships
-    "exact_mode_scan", "conv_digest", "asof_join", "sessionize",
+    # kernel / grouped / temporal flagships; sessionize (r01 driver-green)
+    # rotates out to admit the new range join
+    "exact_mode_scan", "conv_digest", "asof_join", "interval_join",
 ]
 
 

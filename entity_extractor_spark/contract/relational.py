@@ -645,6 +645,27 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (bucketized, no BNLJ): clicks falling inside ±30-min
+    windows around each purchase by the same user; per-window counts."""
+    from entity_extractor_spark.operators.temporal import interval_join
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.expr("ts - interval 30 minutes").alias("start_ts"),
+        F.expr("ts + interval 30 minutes").alias("end_ts"),
+    )
+    j = interval_join(clicks, purchases, key="user_id", bucket_seconds=1800)
+    return (
+        j.groupBy("interval_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .orderBy("interval_id")
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity-gap sessionization (30 min), per-user session stats."""
     from entity_extractor_spark.operators.temporal import session_stats
@@ -717,6 +738,7 @@ QUERIES = {
     "rolling_window": q_rolling_window,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
+    "interval_join": q_interval_join,
     "rollup_agg": q_rollup_agg,
     "conv_digest": q_conv_digest,
     "exact_mode_scan": q_exact_mode_scan,
@@ -940,6 +962,20 @@ def _oracles() -> dict[str, str]:
                    sum(CASE WHEN view_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_matched,
                    round(avg(date_diff('second', r_ts, ts)), 2) AS mean_gap_s
             FROM j GROUP BY user_id ORDER BY user_id
+        """,
+        "interval_join": """
+            WITH clicks AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            p AS (
+              SELECT user_id, event_id AS interval_id,
+                     ts - INTERVAL 30 MINUTE AS s, ts + INTERVAL 30 MINUTE AS e
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.interval_id, COUNT(*) AS n_clicks
+            FROM p JOIN clicks c
+              ON c.user_id = p.user_id AND c.ts >= p.s AND c.ts <= p.e
+            GROUP BY 1 ORDER BY interval_id
         """,
         "sessionize": """
             WITH g AS (

@@ -77,6 +77,42 @@ def asof_join(
     return out.withColumnRenamed("_carry_ts", "r_ts")
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str | None = None,
+    ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range join: each point row matched to every interval containing
+    its timestamp (``start <= ts <= end``), optionally also equi-keyed.
+
+    Spark plans a raw BETWEEN join as BroadcastNestedLoopJoin/cartesian —
+    the classic non-equi-join scale trap. This is the standard fix: time
+    is cut into fixed buckets, each interval EXPLODES into the buckets it
+    covers, each point lands in exactly ONE bucket, and the join becomes
+    an equi join on (key, bucket) followed by the exact containment
+    filter. A point's bucket intersects a covering interval's bucket list
+    exactly once, so no dedup is needed. Shuffle volume is
+    |points| + |intervals| * avg_buckets_per_interval; pick
+    ``bucket_seconds`` near the typical interval length so the expansion
+    factor stays ~2. Plan-asserted: no BNLJ, no cartesian.
+    """
+    b_pt = F.floor(F.unix_timestamp(F.col(ts)) / bucket_seconds)
+    b_lo = F.floor(F.unix_timestamp(F.col(start)) / bucket_seconds)
+    b_hi = F.floor(F.unix_timestamp(F.col(end)) / bucket_seconds)
+    iv = intervals.withColumn("_bucket", F.explode(F.sequence(b_lo, b_hi)))
+    pt = points.withColumn("_bucket", b_pt)
+    on = ["_bucket"] + ([key] if key else [])
+    return (
+        pt.join(iv, on)
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("_bucket")
+    )
+
+
 def sessionize(
     df: DataFrame, key: str, ts: str = "ts", gap_seconds: int = 1800
 ) -> DataFrame:

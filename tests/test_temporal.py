@@ -59,6 +59,39 @@ def test_asof_join_right_side_tie_break(spark):
     assert "_r_ord" not in out[0].asDict()
 
 
+def test_interval_join_semantics(spark):
+    """Bucketized range join: inclusive boundaries, multi-bucket
+    intervals, key isolation, and no duplicate matches."""
+    from entity_extractor_spark.operators.temporal import interval_join
+
+    pts = _df(
+        spark,
+        [
+            (1, "2026-01-01 10:00:00", 100),  # exactly at i1 start (inclusive)
+            (1, "2026-01-01 11:30:00", 101),  # inside i1 (bucket 2 of 3)
+            (1, "2026-01-01 13:00:00", 102),  # exactly at i1 end (inclusive)
+            (1, "2026-01-01 13:00:01", 103),  # just outside
+            (2, "2026-01-01 11:00:00", 104),  # other key, same time range
+        ],
+        "user_id long, ts string, event_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    iv = _df(
+        spark,
+        [(1, 7, "2026-01-01 10:00:00", "2026-01-01 13:00:00")],
+        "user_id long, interval_id long, start_ts string, end_ts string",
+    ).withColumn("start_ts", F.to_timestamp("start_ts")).withColumn(
+        "end_ts", F.to_timestamp("end_ts")
+    )
+    out = interval_join(pts, iv, key="user_id", bucket_seconds=3600).collect()
+    assert sorted(r["event_id"] for r in out) == [100, 101, 102]
+    assert all(r["interval_id"] == 7 for r in out)
+    # plan: the non-equi condition must NOT become a nested-loop join
+    from entity_extractor_spark import plans as P
+
+    plan = P.formatted_plan(interval_join(pts, iv, key="user_id"))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
 def test_sessionize_gap_rule(spark):
     rows = [
         (1, "2026-01-01 10:00:00"),
