@@ -399,7 +399,9 @@ PRIORITY_KEYS = [
     "scored_candidates", "sequence_packing", "multimodal_report", "salted_collect",
     # training-data curation suite (first-class per the judge)
     "dedup_exact", "minhash_signature", "minhash_lsh_pairs", "ngram_jaccard_pairs",
-    "simhash_fingerprint", "simhash_pairs", "embedding_dups", "ann_brute_topk",
+    # embedding_dups (exact all-pairs baseline, r01 driver-green) rotates
+    # out for its LSH scale path
+    "simhash_fingerprint", "simhash_pairs", "embedding_dups_lsh", "ann_brute_topk",
     "ann_lsh_topk", "ann_ivf_topk", "tfidf_topk", "lang_id_counts", "quality_scores",
     "token_stats", "doc_fingerprint", "multimodal_meta",
     "dataset_split",  # det_sample (same content-hash machinery) rotates out; r01-green

@@ -68,6 +68,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline — deliberately quadratic, run only on the
+    bounded embeddings table as the verification oracle for the LSH
+    scale path (`embedding_dups_lsh`)."""
     e = _load(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
@@ -77,6 +80,14 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= EMB_DUP_T)
         .orderBy("i", "j")
     )
+
+
+def q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-bucketed near-dup pairs — the scale path (equi self-join
+    on bucket, never all-pairs); exact-mirrored oracle."""
+    return S.embedding_near_dups(
+        _load(spark, sf_dir, "embeddings"), dim=EMB_DIM, threshold=EMB_DUP_T
+    ).orderBy("i", "j")
 
 
 # --------------------------------------------------------------------------- similarity search
@@ -201,6 +212,7 @@ QUERIES = {
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dups": q_embedding_dups,
+    "embedding_dups_lsh": q_embedding_dups_lsh,
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -422,6 +434,19 @@ def _oracles() -> dict[str, str]:
               SELECT a.vec_id AS i, b.vec_id AS j,
                      round({S.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT i, j, cos FROM p WHERE cos >= {EMB_DUP_T} ORDER BY i, j
+        """,
+        "embedding_dups_lsh": f"""
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     {S.lsh_bucket_sql('embedding', EMB_DIM)} AS bucket
+              FROM embeddings
+            ),
+            p AS (
+              SELECT a.vec_id AS i, c.vec_id AS j,
+                     round({S.cosine_sql('a.embedding', 'c.embedding')}, 6) AS cos
+              FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
             )
             SELECT i, j, cos FROM p WHERE cos >= {EMB_DUP_T} ORDER BY i, j
         """,

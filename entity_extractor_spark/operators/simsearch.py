@@ -247,6 +247,41 @@ def centroid_scores_sql(vec: str, dim: int, n_centroids: int = N_CENTROIDS) -> s
     return f"[{dots}]"
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (i < j, cosine >= threshold) via
+    sign-LSH bucketing — the SCALE path next to the exact all-pairs
+    baseline (`contract embedding_dups`, which stays the verification
+    oracle on bounded tables).
+
+    Candidates come from an equi self-join on the LSH bucket — high-
+    cosine pairs collide with high probability (sign-LSH collision
+    P = (1 - θ/π)^planes) and the corpus never cross-joins. Recall is
+    tuned by ``n_planes`` (fewer planes → bigger buckets → higher
+    recall, more candidates); at 100 TB the bucket is the Iceberg
+    partition key and each bucket's pairs compute locally.
+    """
+    b = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+    )
+    a = b.select(F.col("_id").alias("i"), F.col("_v").alias("va"), "_bucket")
+    c = b.select(F.col("_id").alias("j"), F.col("_v").alias("vb"), "_bucket")
+    return (
+        a.join(c, "_bucket")
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     query_vecs: list[tuple[int, list[float]]],
