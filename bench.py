@@ -48,6 +48,8 @@ HEADLINE = [
     "quality_scores",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "embedding_dups_lsh",
+    "interval_join",
     "sequence_packing",
     # round-2 operators
     "scored_candidates",
