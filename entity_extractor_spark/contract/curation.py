@@ -188,6 +188,38 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_report(_load(spark, sf_dir, "documents"), PACK_BUDGET)
 
 
+STRATA_FRACTIONS = {"en": 1.0, "de": 0.5, "es": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum mixing weights (keep all en, half de, 10% es; drop the
+    rest) — the LLM data-mixing primitive, content-hash deterministic."""
+    from entity_extractor_spark.operators.sampling import stratified_sample
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, "doc_id", "lang", STRATA_FRACTIONS)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang")
+    )
+
+
+def q_sequence_packing_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-descending first-fit packing variant: per-(shard,bin) fill
+    stats with long docs packed first."""
+    from entity_extractor_spark.operators.sampling import pack_sequences
+
+    packed = pack_sequences(
+        _load(spark, sf_dir, "documents"), PACK_BUDGET, order="tokens_desc"
+    )
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("shard", "bin")
+    )
+
+
 # --------------------------------------------------------------------------- multimodal
 
 
@@ -226,6 +258,8 @@ QUERIES = {
     "det_sample": q_det_sample,
     "dataset_split": q_dataset_split,
     "sequence_packing": q_sequence_packing,
+    "stratified_sample": q_stratified_sample,
+    "sequence_packing_sorted": q_sequence_packing_sorted,
 }
 
 
@@ -503,6 +537,28 @@ def _oracles() -> dict[str, str]:
               SELECT shard, n_tokens,
                      CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens)
                                 / {PACK_BUDGET}.0) AS BIGINT) AS bin
+              FROM t
+            )
+            SELECT shard, bin, COUNT(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM p GROUP BY shard, bin ORDER BY shard, bin
+        """,
+        "stratified_sample": f"""
+            SELECT lang, COUNT(*) AS n FROM documents
+            WHERE ({H.token_hash_sql('CAST(doc_id AS VARCHAR)')} % {10_000}) <
+              CASE lang {' '.join(f"WHEN '{s}' THEN {int(f * 10_000)}" for s, f in sorted(STRATA_FRACTIONS.items()))} ELSE 0 END
+            GROUP BY lang ORDER BY lang
+        """,
+        "sequence_packing_sorted": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     ({H.token_hash_sql('CAST(doc_id AS VARCHAR)')} % {PACK_SHARDS}) AS shard,
+                     {X.token_counts_sql('text')['n_bpe_tokens']} AS n_tokens
+              FROM documents
+            ),
+            p AS (
+              SELECT shard, n_tokens,
+                     CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id)
+                                 - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin
               FROM t
             )
             SELECT shard, bin, COUNT(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens

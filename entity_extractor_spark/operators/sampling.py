@@ -39,6 +39,23 @@ def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     return df.filter(sample_bucket(F.col(key)) < int(fraction * SAMPLE_MOD))
 
 
+def stratified_sample(
+    df: DataFrame, key: str, stratum: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive of
+    an LLM pipeline (e.g. keep 100% of books, 10% of web). Same
+    content-hash membership as :func:`deterministic_sample`, so the kept
+    set is stable under repartitioning and engine changes; strata absent
+    from ``fractions`` are dropped (explicit mixing weights only).
+    Pure map-stage filter: zero shuffle, predicate-pushdown friendly.
+    """
+    b = sample_bucket(F.col(key))
+    thresh = F.create_map(
+        *[x for s, frac in sorted(fractions.items()) for x in (F.lit(s), F.lit(int(frac * SAMPLE_MOD)))]
+    )
+    return df.filter(b < F.coalesce(thresh[F.col(stratum)], F.lit(0)))
+
+
 def assign_split(
     key: Column, train: float = 0.8, val: float = 0.1
 ) -> Column:
@@ -69,8 +86,11 @@ def pack_sequences(
     text_col: str = "text",
     partition_col: Column | None = None,
     n_shards: int = N_PACK_SHARDS,
+    order: str = "id",
 ) -> DataFrame:
     """Assign each doc to a packing (shard, bin) by running token count.
+    ``order``: "id" (corpus order, default) or "tokens_desc"
+    (sorted-descending first-fit — less tail fragmentation).
 
     bin = floor(tokens_before_this_doc_in_shard / budget); docs longer
     than the budget still get a bin (they'd be chunked downstream by
@@ -90,7 +110,13 @@ def pack_sequences(
     if partition_col is None:
         partition_col = F.pmod(token_hash(F.col(id_col).cast("string")), F.lit(n_shards))
     n_tok = token_counts(F.col(text_col))["n_bpe_tokens"]
-    w = Window.partitionBy(partition_col).orderBy(id_col)
+    if order == "tokens_desc":
+        # sorted-descending first-fit: packing long docs first reduces
+        # tail fragmentation (the classic BFD approximation), at the cost
+        # of losing corpus order within the shard
+        w = Window.partitionBy(partition_col).orderBy(n_tok.desc(), id_col)
+    else:
+        w = Window.partitionBy(partition_col).orderBy(id_col)
     cum = F.sum(n_tok).over(w)
     return docs.select(
         F.col(id_col),
