@@ -82,11 +82,18 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_LSH_MAX_BUCKET = 10_000
+
+
 def q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH-bucketed near-dup pairs — the scale path (equi self-join
-    on bucket, never all-pairs); exact-mirrored oracle."""
+    on bucket with a hot-bucket guard, never all-pairs); exact-mirrored
+    oracle including the guard."""
     return S.embedding_near_dups(
-        _load(spark, sf_dir, "embeddings"), dim=EMB_DIM, threshold=EMB_DUP_T
+        _load(spark, sf_dir, "embeddings"),
+        dim=EMB_DIM,
+        threshold=EMB_DUP_T,
+        max_bucket=EMB_LSH_MAX_BUCKET,
     ).orderBy("i", "j")
 
 
@@ -472,10 +479,16 @@ def _oracles() -> dict[str, str]:
             SELECT i, j, cos FROM p WHERE cos >= {EMB_DUP_T} ORDER BY i, j
         """,
         "embedding_dups_lsh": f"""
-            WITH b AS (
+            WITH b0 AS (
               SELECT vec_id, embedding,
                      {S.lsh_bucket_sql('embedding', EMB_DIM)} AS bucket
               FROM embeddings
+            ),
+            b AS (
+              -- mirror of the Spark-side max_bucket hot-bucket guard
+              SELECT vec_id, embedding, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY bucket) AS _n FROM b0
+              ) WHERE _n <= {EMB_LSH_MAX_BUCKET}
             ),
             p AS (
               SELECT a.vec_id AS i, c.vec_id AS j,

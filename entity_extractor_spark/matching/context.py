@@ -56,15 +56,6 @@ class WordIndex:
         hi = min(self.n, end_word + window_words + 1)
         return " ".join(self.words[lo:hi])
 
-    def windows(
-        self, match_starts: list[int], match_ends: list[int], window_words: int
-    ) -> list[str]:
-        """Batch form used by the scan kernel (one call per matched text)."""
-        return [
-            self.window(s, e, window_words) for s, e in zip(match_starts, match_ends)
-        ]
-
-
 def extract_context_window(
     text: str, match_start: int, match_end: int, window_words: int = DEFAULT_WINDOW_WORDS
 ) -> str:

@@ -84,10 +84,7 @@ def scan_mentions(
                 if not spans:
                     continue
                 widx = WordIndex(text)
-                ctxs = widx.windows(
-                    [s.start for s in spans], [s.end for s in spans], window_words
-                )
-                for s, ctx in zip(spans, ctxs):
+                for s in spans:
                     conv_ids.append(conv_id)
                     turn_idxs.append(turn_idx)
                     term_ids.append(s.term_id)
@@ -95,7 +92,7 @@ def scan_mentions(
                     surfaces.append(s.text)
                     starts.append(s.start)
                     ends.append(s.end)
-                    contexts.append(ctx)
+                    contexts.append(widx.window(s.start, s.end, window_words))
                     locations.append(role)
             yield pd.DataFrame(
                 {

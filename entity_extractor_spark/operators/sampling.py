@@ -107,6 +107,8 @@ def pack_sequences(
     not ``F.hash`` — cross-engine deterministic, so the DuckDB oracle
     reproduces the exact same shard assignment.
     """
+    if order not in ("id", "tokens_desc"):
+        raise ValueError(f"order must be 'id' or 'tokens_desc', got {order!r}")
     if partition_col is None:
         partition_col = F.pmod(token_hash(F.col(id_col).cast("string")), F.lit(n_shards))
     n_tok = token_counts(F.col(text_col))["n_bpe_tokens"]

@@ -254,6 +254,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (i < j, cosine >= threshold) via
     sign-LSH bucketing — the SCALE path next to the exact all-pairs
@@ -266,12 +267,23 @@ def embedding_near_dups(
     tuned by ``n_planes`` (fewer planes → bigger buckets → higher
     recall, more candidates); at 100 TB the bucket is the Iceberg
     partition key and each bucket's pairs compute locally.
+
+    Pair count per bucket is still quadratic in bucket size, so two
+    explicit scale controls apply (same rule as minhash_lsh_pairs'
+    hot-bucket guard): ``n_planes`` must grow with corpus size so
+    2^planes keeps the expected bucket population bounded, and
+    ``max_bucket`` hard-drops degenerate buckets (a spike of duplicated
+    or near-zero embeddings) BEFORE the self-join.
     """
+    from pyspark.sql import Window
+
     b = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
     )
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("_bucket"))
+    b = b.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket).drop("_n")
     a = b.select(F.col("_id").alias("i"), F.col("_v").alias("va"), "_bucket")
     c = b.select(F.col("_id").alias("j"), F.col("_v").alias("vb"), "_bucket")
     return (

@@ -42,17 +42,27 @@ def asof_join(
     value wins). It is carried through the union under a reserved name
     (null on left rows), so it resolves regardless of the ``r_<col>``
     renames.
+
+    The right row is carried as ONE STRUCT (``_r_row``) with a single
+    ``last(ignorenulls=True)`` — the struct is non-null for every right
+    row, so the LATEST right row is taken atomically even when some of
+    its payload values are NULL. Carrying payload columns individually
+    would instead backfill a NULL payload from an OLDER right row,
+    fabricating a row that never existed.
     """
     rc = right_cols or [c for c in right.columns if c not in (key, ts)]
-    lt = left.withColumn("_tag", F.lit(1))
-    for c in rc:
-        lt = lt.withColumn(f"r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    row_struct = F.struct(
+        F.col(ts).alias("_rts"), *[F.col(c).alias(f"r_{c}") for c in rc]
+    )
     rt = right.select(
         key,
         ts,
-        *[F.col(c).alias(f"r_{c}") for c in rc],
+        row_struct.alias("_r_row"),
         *([F.col(order_col).alias("_r_ord")] if order_col is not None else []),
     ).withColumn("_tag", F.lit(0))
+    lt = left.withColumn("_tag", F.lit(1)).withColumn(
+        "_r_row", F.lit(None).cast(rt.schema["_r_row"].dataType)
+    )
     if order_col is not None:
         lt = lt.withColumn("_r_ord", F.lit(None).cast(right.schema[order_col].dataType))
     for c in left.columns:
@@ -63,18 +73,13 @@ def asof_join(
     if order_col is not None:
         order.append(F.col("_r_ord"))
     w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    carried = u.select(
-        "*",
-        *[
-            F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"_carry_{c}")
-            for c in rc
-        ],
-        F.max(F.when(F.col("_tag") == 0, F.col(ts))).over(w).alias("_carry_ts"),
+    carried = u.select("*", F.last("_r_row", ignorenulls=True).over(w).alias("_carry"))
+    out = carried.filter(F.col("_tag") == 1).select(
+        *[c for c in left.columns],
+        *[F.col(f"_carry.r_{c}").alias(f"r_{c}") for c in rc],
+        F.col("_carry._rts").alias("r_ts"),
     )
-    out = carried.filter(F.col("_tag") == 1).drop("_tag", "_r_ord", *[f"r_{c}" for c in rc])
-    for c in rc:
-        out = out.withColumnRenamed(f"_carry_{c}", f"r_{c}")
-    return out.withColumnRenamed("_carry_ts", "r_ts")
+    return out
 
 
 def interval_join(

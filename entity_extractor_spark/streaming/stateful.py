@@ -7,13 +7,16 @@ module adds the two standard streaming shapes Spark does not give you
 for free at the semantics we need:
 
 * ``sessionize_stream`` — inactivity-gap sessionization as a CUSTOM
-  STATEFUL operator: per-key open-session state carried across
+  STATEFUL operator: per-key pending-session state carried across
   micro-batches with ``applyInPandasWithState`` + event-time timeout.
   This is the streaming twin of ``operators/temporal.sessionize`` (same
-  gap rule); closed sessions are emitted exactly once, the open tail
-  session lives in the state store until the watermark passes its
-  timeout. State is O(one row per active key) — at 10^12 turns the
-  state store holds only keys active inside the watermark horizon.
+  gap rule). A session is emitted exactly once, and only when the
+  WATERMARK passes its ``end + gap`` — until then it stays mutable in
+  the state store, because a within-watermark late event may still
+  extend it or merge two gap-split sessions (emitting on gap-split
+  alone would double-emit in that case). State is O(pending sessions
+  per active key), bounded by the watermark horizon — at 10^12 turns
+  the store holds only keys active inside it.
 * ``windowed_event_counts`` — watermarked tumbling-window aggregation
   (the built-in late-data-tolerant shape): counts per (window, group)
   with append-mode finalization once the watermark passes window end.
@@ -33,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
@@ -47,13 +51,15 @@ SESSION_OUTPUT = StructType(
         StructField("n_events", LongType()),
     ]
 )
-# open-session state: (start_us, last_us, n) — microsecond epoch ints so
-# the state row is fixed-width and engine-version stable
+# pending (not yet watermark-finalized) sessions: parallel arrays of
+# microsecond-epoch (start, last, n) — a LIST, not one interval, because
+# a session split by the gap rule is still mutable until the watermark
+# passes its end+gap (a within-watermark late event may merge into it)
 SESSION_STATE = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("last_us", LongType()),
-        StructField("n", LongType()),
+        StructField("starts", ArrayType(LongType())),
+        StructField("lasts", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
     ]
 )
 
@@ -66,44 +72,58 @@ def _session_fn(gap_seconds: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            # watermark passed last+gap with no new events: close the
-            # open session and clear state
-            start_us, last_us, n = state.get
-            state.remove()
-            yield _emit(key[0], [(start_us, last_us, n)])
-            return
         # intervals (start, last, n): each new event is a unit interval,
-        # the open-session state is one atomic interval — sorting then
-        # gap-merging intervals is correct even when a micro-batch
-        # delivers (within-watermark) events older than the open session
+        # every pending state session is an atomic interval — sorting
+        # then gap-merging is correct even when a micro-batch delivers
+        # (within-watermark) events older than a pending session
         intervals: list[list[int]] = []
         for pdf in pdfs:
             # normalize to microsecond epoch regardless of the pandas
-            # datetime resolution Arrow hands us (ns on pandas<2, us on 2.x)
-            intervals.extend(
-                [int(v), int(v), 1]
-                for v in pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
-            )
+            # datetime resolution Arrow hands us (ns on pandas<2, us on
+            # 2.x); null event times (NaT -> int64 min) are dropped
+            for v in pdf["ts"].astype("datetime64[us]").astype("int64").tolist():
+                if int(v) != -(2**63):
+                    intervals.append([int(v), int(v), 1])
         if state.exists:
-            start_us, last_us, n = state.get
-            intervals.append([start_us, last_us, n])
+            starts, lasts, ns = state.get
+            intervals.extend([s, e, n] for s, e, n in zip(starts, lasts, ns))
+        if not intervals:
+            if state.exists:
+                state.remove()
+            return
         intervals.sort()
-        cur = intervals[0]
-        sessions: list[tuple[int, int, int]] = []
+        merged: list[list[int]] = [intervals[0]]
         for iv in intervals[1:]:
+            cur = merged[-1]
             if iv[0] - cur[1] > gap_us:
-                sessions.append((cur[0], cur[1], cur[2]))
-                cur = iv
+                merged.append(iv)
             else:
                 cur[1] = max(cur[1], iv[1])
                 cur[2] += iv[2]
-        # every session but the open tail is closed -> emit now;
-        # the tail goes to state with an event-time timeout at last+gap
-        state.update((cur[0], cur[1], cur[2]))
-        state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
-        if sessions:
-            yield _emit(key[0], sessions)
+        # a session is FINAL only once the watermark passed its end+gap —
+        # no within-watermark event can extend or merge it anymore.
+        # Emitting on gap-split alone would double-emit when a late
+        # (but in-watermark) event bridges two already-split sessions.
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        final = [tuple(iv) for iv in merged if iv[1] + gap_us <= wm_us]
+        pending = [iv for iv in merged if iv[1] + gap_us > wm_us]
+        if pending:
+            state.update(
+                (
+                    [iv[0] for iv in pending],
+                    [iv[1] for iv in pending],
+                    [iv[2] for iv in pending],
+                )
+            )
+            # fire when the earliest pending session becomes final
+            # (clamped strictly past the watermark — us->ms floor could
+            # otherwise land exactly ON it, which Spark rejects)
+            timeout_ms = min(iv[1] for iv in pending) // 1000 + gap_seconds * 1000
+            state.setTimeoutTimestamp(max(timeout_ms, wm_us // 1000 + 1))
+        else:
+            state.remove()
+        if final:
+            yield _emit(key[0], final)
 
     return fn
 
@@ -127,8 +147,9 @@ def sessionize_stream(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Streaming inactivity-gap sessionization (same rule as the batch
-    ``operators/temporal.sessionize``): one output row per CLOSED
-    session. ``events`` must be a streaming DataFrame.
+    ``operators/temporal.sessionize``): one output row per session,
+    emitted once its finalization point (``end + gap``) is behind the
+    watermark. ``events`` must be a streaming DataFrame.
     """
     ev = events.withWatermark(ts, watermark).select(
         F.col(key).cast("long").alias("key"), F.col(ts).alias("ts")

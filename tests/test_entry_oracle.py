@@ -4,7 +4,6 @@ compare row count + column names + (order-insensitive) values."""
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
@@ -26,40 +25,12 @@ def duck():
     con.close()
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
-
-
 def _compare(a: pd.DataFrame, b: pd.DataFrame, name: str):
-    assert sorted(a.columns) == sorted(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
-    assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
-    a, b = _canon(a), _canon(b)
-    for c in a.columns:
-        # dtype KIND must agree (int vs float): the driver hashes values
-        # after pandas materialization, so a DuckDB HUGEINT sum (-> float64)
-        # against a Spark BIGINT breaks its hash even when values are equal.
-        ka, kb = a[c].dtype.kind, b[c].dtype.kind
-        NUM = {"i", "u", "f"}
-        if ka in NUM or kb in NUM:
-            assert (ka in {"i", "u"}) == (kb in {"i", "u"}), (
-                f"{name}.{c}: dtype kind mismatch {a[c].dtype} vs {b[c].dtype} "
-                f"(cast the oracle aggregate, e.g. CAST(sum(..) AS BIGINT))"
-            )
-    for c in a.columns:
-        av, bv = a[c].tolist(), b[c].tolist()
-        for i, (x, y) in enumerate(zip(av, bv)):
-            if isinstance(x, float) or isinstance(y, float):
-                fx = float("nan") if x is None else float(x)
-                fy = float("nan") if y is None else float(y)
-                if math.isnan(fx) and math.isnan(fy):
-                    continue
-                assert fx == fy, f"{name}.{c}[{i}]: {x!r} != {y!r} (float EXACT mismatch)"
-            else:
-                assert str(x) == str(y), f"{name}.{c}[{i}]: {x!r} != {y!r}"
+    # single definition shared with tools/check_contract.py
+    from entity_extractor_spark.contract.compare import compare_frames
+
+    err = compare_frames(a, b, name)
+    assert err is None, err
 
 
 def test_all_queries_match_oracle(spark, duck):

@@ -102,6 +102,48 @@ def test_sessionize_stream_across_batches(spark, tmp_path):
     assert rows == closed_batch
 
 
+def test_sessionize_stream_late_event_merges_split_sessions(spark, tmp_path):
+    """The watermark-finalization rule: two gap-split sessions must NOT
+    be emitted while a within-watermark late event could still bridge
+    them (the round-2 code-review counterexample). Events 0s and 2000s
+    (gap 1800s) arrive first; a late 1500s event then bridges them —
+    the output must be ONE merged session of 3 events."""
+    import pandas as pd
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    outp = str(tmp_path / "out")
+
+    BASE = 86_400  # keep clear of epoch 0 == the initial watermark value
+
+    def _write(secs):
+        pdf = pd.DataFrame(
+            {"user_id": [1] * len(secs), "ts": pd.to_datetime([BASE + s for s in secs], unit="s")}
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(inp)
+
+    def build(path):
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+        return sessionize_stream(
+            stream, key="user_id", ts="ts", gap_seconds=1800, watermark="10 minutes"
+        )
+
+    _write([0, 2000])
+    _drain(build, inp, ckpt, outp)
+    # late-but-in-watermark bridge event, plus a far sentinel to finalize
+    _write([1500, 100000])
+    _drain(build, inp, ckpt, outp)
+    rows = {
+        (
+            int(r["session_start"].timestamp()) - BASE,
+            int(r["session_end"].timestamp()) - BASE,
+            r["n_events"],
+        )
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert rows == {(0, 2000, 3)}, rows
+
+
 def test_windowed_event_counts_watermark(spark, tmp_path):
     inp = str(tmp_path / "in")
     ckpt = str(tmp_path / "ckpt")

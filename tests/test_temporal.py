@@ -59,6 +59,24 @@ def test_asof_join_right_side_tie_break(spark):
     assert "_r_ord" not in out[0].asDict()
 
 
+def test_asof_join_null_payload_not_backfilled(spark):
+    """The latest at-or-before right row must be taken ATOMICALLY: a
+    NULL payload on the latest right row stays NULL, never backfilled
+    from an older right row (round-2 code-review finding)."""
+    left = _df(
+        spark, [(1, "2026-01-01 10:00:00", 100)], "user_id long, ts string, event_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = _df(
+        spark,
+        [(1, "2026-01-01 09:00:00", 5), (1, "2026-01-01 09:30:00", None)],
+        "user_id long, ts string, vid long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = asof_join(left, right, "user_id", right_cols=["vid"]).collect()
+    assert len(out) == 1
+    assert str(out[0]["r_ts"]) == "2026-01-01 09:30:00"  # latest right row
+    assert out[0]["r_vid"] is None  # its NULL payload, not the older 5
+
+
 def test_interval_join_semantics(spark):
     """Bucketized range join: inclusive boundaries, multi-bucket
     intervals, key isolation, and no duplicate matches."""

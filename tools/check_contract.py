@@ -11,43 +11,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
-import math
+
+from entity_extractor_spark.contract.compare import compare_frames as compare
 
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
-
-
-def canon(df):
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
-
-
-def compare(a, b, name):
-    if sorted(a.columns) != sorted(b.columns):
-        return f"{name}: columns {sorted(a.columns)} vs {sorted(b.columns)}"
-    if len(a) != len(b):
-        return f"{name}: rows {len(a)} vs {len(b)}"
-    a, b = canon(a), canon(b)
-    for c in a.columns:
-        # dtype KIND must agree (int vs float): the driver's value hash is
-        # dtype-sensitive (HUGEINT sums materialize as float64 in pandas)
-        ka, kb = a[c].dtype.kind, b[c].dtype.kind
-        if (ka in "iuf" or kb in "iuf") and (ka in "iu") != (kb in "iu"):
-            return f"{name}.{c}: dtype kind mismatch {a[c].dtype} vs {b[c].dtype}"
-    for c in a.columns:
-        for i, (x, y) in enumerate(zip(a[c].tolist(), b[c].tolist())):
-            if isinstance(x, float) or isinstance(y, float):
-                fx = float("nan") if x is None else float(x)
-                fy = float("nan") if y is None else float(y)
-                if math.isnan(fx) and math.isnan(fy):
-                    continue
-                if fx != fy:
-                    return f"{name}.{c}[{i}]: {x!r} != {y!r}"
-            elif str(x) != str(y):
-                return f"{name}.{c}[{i}]: {x!r} != {y!r}"
-    return None
 
 
 def main():
