@@ -92,3 +92,33 @@ def test_exact_mode_matches_naive_regex(tc):
     m = GazetteerMatcher.build(terms, mode="exact")
     got = {(s.term_id, s.surface, s.text, s.start, s.end) for s in m.find(text)}
     assert got == _naive_spans(terms, text, "exact"), (terms, text)
+
+
+# filler phrases from characters outside the text alphabet: they push the
+# phrase count past AC_MIN_PHRASES (so the Aho-Corasick prefilter path
+# runs) without ever matching a generated text
+_AC_FILLER = [(f"zfill{i}", [f"zq{i} zr{i}"]) for i in range(70)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(case())
+def test_word_boundary_ac_path_matches_naive_regex(tc):
+    terms, text = tc
+    terms = terms + _AC_FILLER
+    m = GazetteerMatcher.build(terms, mode="word_boundary")
+    assert m._phrase_ac is not None  # the AC prefilter really is active
+    got = {(s.term_id, s.surface, s.text, s.start, s.end) for s in m.find(text)}
+    assert got == _naive_spans(terms, text, "word_boundary"), (terms, text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(case())
+def test_exact_mode_ac_path_matches_naive_regex(tc):
+    terms, text = tc
+    # exact mode routes single-word labels to the token index; make the
+    # fillers phrases (with a space) so they land in the AC phrase path
+    terms = terms + _AC_FILLER
+    m = GazetteerMatcher.build(terms, mode="exact")
+    assert m._phrase_ac is not None
+    got = {(s.term_id, s.surface, s.text, s.start, s.end) for s in m.find(text)}
+    assert got == _naive_spans(terms, text, "exact"), (terms, text)
