@@ -72,11 +72,13 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded embeddings table as the verification oracle for the LSH
     scale path (`embedding_dups_lsh`)."""
     e = _load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    nrm = S._norm(F.col("embedding"))
+    a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"), nrm.alias("na"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"), nrm.alias("nb"))
+    cos = S._paired_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.join(b, F.col("i") < F.col("j"))
-        .select("i", "j", F.round(S.cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .select("i", "j", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= EMB_DUP_T)
         .orderBy("i", "j")
     )

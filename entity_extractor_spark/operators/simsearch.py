@@ -64,6 +64,19 @@ def cosine_sql(a: str, b: str) -> str:
     )
 
 
+def _norm(vec: Column) -> Column:
+    return F.sqrt(_dot(vec, vec))
+
+
+def _paired_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
+    """cosine from PRE-COMPUTED per-row norms — cosine_expr would re-fold
+    sqrt(dot(v,v)) once per PAIR, tripling the fold work of every
+    pair-scoring join (measured 2-3x on the contract bench). Identical
+    arithmetic, bit-identical doubles, so the DuckDB mirrors are
+    unaffected."""
+    return F.when((qn > 0) & (cn > 0), _dot(qv, cv) / (qn * cn)).otherwise(F.lit(0.0))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -74,20 +87,31 @@ def brute_force_topk(
     """(query_id, rank, neighbor_id, cos) — exact top-k by cosine.
 
     ``queries`` is broadcast (the small side); the corpus is scanned once
-    with no shuffle before the per-query window.
+    with no shuffle before the per-query window; norms computed once per
+    row, not per pair.
     """
     from pyspark.sql import Window
 
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+        )
     )
     scored = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _norm(F.col(vec_col)).alias("cn"),
+        )
         .join(q, F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                _paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
@@ -138,12 +162,14 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         lsh_bucket(F.col(vec_col), dim).alias("bucket"),
+        _norm(F.col(vec_col)).alias("cn"),
     )
     bq = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
             lsh_bucket(F.col(vec_col), dim).alias("bucket"),
+            _norm(F.col(vec_col)).alias("qn"),
         )
     )
     scored = (
@@ -152,7 +178,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                _paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
@@ -204,7 +232,11 @@ def ivf_topk(
     from pyspark.sql import Window
 
     bc = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            _norm(F.col(vec_col)).alias("cn"),
+        )
         .withColumn("_cs", centroid_scores(F.col("cv"), dim, n_centroids))
         .withColumn(
             "cell", F.expr("CAST(array_position(_cs, array_max(_cs)) - 1 AS INT)")
@@ -216,7 +248,11 @@ def ivf_topk(
         f"i -> struct(-_qs[i] AS ns, i AS cid))), 1, {n_probe}), x -> CAST(x.cid AS INT))"
     )
     bq = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+        )
         .withColumn("_qs", centroid_scores(F.col("qv"), dim, n_centroids))
         .withColumn("cell", F.explode(probe))
         .drop("_qs")
@@ -227,7 +263,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            F.round(
+                _paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
@@ -281,15 +319,17 @@ def embedding_near_dups(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+        _norm(F.col(vec_col)).alias("_nrm"),
     )
     bucket_n = F.count(F.lit(1)).over(Window.partitionBy("_bucket"))
     b = b.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket).drop("_n")
-    a = b.select(F.col("_id").alias("i"), F.col("_v").alias("va"), "_bucket")
-    c = b.select(F.col("_id").alias("j"), F.col("_v").alias("vb"), "_bucket")
+    a = b.select(F.col("_id").alias("i"), F.col("_v").alias("va"), F.col("_nrm").alias("na"), "_bucket")
+    c = b.select(F.col("_id").alias("j"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb"), "_bucket")
+    cos = _paired_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.join(c, "_bucket")
         .filter(F.col("i") < F.col("j"))
-        .select("i", "j", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .select("i", "j", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 
