@@ -72,10 +72,10 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded embeddings table as the verification oracle for the LSH
     scale path (`embedding_dups_lsh`)."""
     e = _load(spark, sf_dir, "embeddings")
-    nrm = S._norm(F.col("embedding"))
+    nrm = S.norm_expr(F.col("embedding"))
     a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"), nrm.alias("na"))
     b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"), nrm.alias("nb"))
-    cos = S._paired_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    cos = S.paired_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.join(b, F.col("i") < F.col("j"))
         .select("i", "j", F.round(cos, 6).alias("cos"))
@@ -171,6 +171,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_FRACTION = 0.1
 PACK_BUDGET = 512
 from entity_extractor_spark.operators.sampling import N_PACK_SHARDS as PACK_SHARDS  # noqa: E402
+from entity_extractor_spark.operators.sampling import bucket_threshold  # noqa: E402
 
 
 def q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,7 +528,7 @@ def _oracles() -> dict[str, str]:
         """,
         "det_sample": f"""
             SELECT lang, COUNT(*) AS n FROM documents
-            WHERE ({H.token_hash_sql('CAST(doc_id AS VARCHAR)')} % {10_000}) < {int(SAMPLE_FRACTION * 10_000)}
+            WHERE ({H.token_hash_sql('CAST(doc_id AS VARCHAR)')} % {10_000}) < {bucket_threshold(SAMPLE_FRACTION)}
             GROUP BY lang ORDER BY lang
         """,
         "dataset_split": f"""
@@ -537,7 +538,7 @@ def _oracles() -> dict[str, str]:
               FROM documents
             )
             SELECT lang,
-                   CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+                   CASE WHEN b < {bucket_threshold(0.8)} THEN 'train' WHEN b < {bucket_threshold(0.8) + bucket_threshold(0.1)} THEN 'val' ELSE 'test' END AS split,
                    COUNT(*) AS n
             FROM s GROUP BY 1, 2 ORDER BY lang, split
         """,
@@ -560,7 +561,7 @@ def _oracles() -> dict[str, str]:
         "stratified_sample": f"""
             SELECT lang, COUNT(*) AS n FROM documents
             WHERE ({H.token_hash_sql('CAST(doc_id AS VARCHAR)')} % {10_000}) <
-              CASE lang {' '.join(f"WHEN '{s}' THEN {int(f * 10_000)}" for s, f in sorted(STRATA_FRACTIONS.items()))} ELSE 0 END
+              CASE lang {' '.join(f"WHEN '{s}' THEN {bucket_threshold(f)}" for s, f in sorted(STRATA_FRACTIONS.items()))} ELSE 0 END
             GROUP BY lang ORDER BY lang
         """,
         "sequence_packing_sorted": f"""

@@ -74,7 +74,6 @@ class GazetteerMatcher:
     mode: str = "word_boundary"
     # surface (lowered for word_boundary, original for exact) -> [(term_id, surface)]
     _word_index: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
-    _phrase_index: list[tuple[str, str, str]] = field(default_factory=list)
     # phrase key -> [(term_id, surface)] + Aho-Corasick prefilter over the
     # keys, built when the phrase dictionary is large (AC_MIN_PHRASES)
     _phrase_terms: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
@@ -96,7 +95,6 @@ class GazetteerMatcher:
                 if _PURE_WORD_RE.match(surface) or (mode == "exact" and " " not in surface):
                     m._word_index.setdefault(key, []).append((term_id, surface))
                 else:
-                    m._phrase_index.append((key, term_id, surface))
                     m._phrase_terms.setdefault(key, []).append((term_id, surface))
         if len(m._phrase_terms) >= AC_MIN_PHRASES:
             m._phrase_ac = AhoCorasick(list(m._phrase_terms))
@@ -106,7 +104,6 @@ class GazetteerMatcher:
         return {
             "mode": self.mode,
             "_word_index": self._word_index,
-            "_phrase_index": self._phrase_index,
             "_phrase_terms": self._phrase_terms,
             "_phrase_ac": self._phrase_ac,
         }
@@ -114,7 +111,6 @@ class GazetteerMatcher:
     def __setstate__(self, state):
         self.mode = state["mode"]
         self._word_index = state["_word_index"]
-        self._phrase_index = state["_phrase_index"]
         self._phrase_terms = state["_phrase_terms"]
         self._phrase_ac = state["_phrase_ac"]
         self._regex_cache = {}
@@ -146,9 +142,9 @@ class GazetteerMatcher:
                 for key in self._phrase_ac.find_keys(lowered):
                     candidates.extend(self._phrase_terms[key])
             else:
-                for key, term_id, surface in self._phrase_index:
+                for key, terms_for_key in self._phrase_terms.items():
                     if key in lowered:
-                        candidates.append((term_id, surface))
+                        candidates.extend(terms_for_key)
             for term_id, surface in candidates:
                 for mo in self._pattern(term_id, surface).finditer(text):
                     spans.append(Span(term_id, surface, mo.group(0), mo.start(), mo.end()))
@@ -162,9 +158,9 @@ class GazetteerMatcher:
                 for key in self._phrase_ac.find_keys(text):
                     candidates.extend(self._phrase_terms[key])
             else:
-                for key, term_id, surface in self._phrase_index:
+                for key, terms_for_key in self._phrase_terms.items():
                     if key in text:
-                        candidates.append((term_id, surface))
+                        candidates.extend(terms_for_key)
             for term_id, surface in candidates:
                 for mo in self._pattern(term_id, surface).finditer(text):
                     spans.append(Span(term_id, surface, mo.group(0), mo.start(), mo.end()))
@@ -172,4 +168,6 @@ class GazetteerMatcher:
         return spans
 
     def n_surfaces(self) -> int:
-        return sum(len(v) for v in self._word_index.values()) + len(self._phrase_index)
+        return sum(len(v) for v in self._word_index.values()) + sum(
+            len(v) for v in self._phrase_terms.values()
+        )

@@ -34,9 +34,18 @@ def sample_bucket(key: Column) -> Column:
     return F.pmod(token_hash(key.cast("string")), F.lit(SAMPLE_MOD))
 
 
+def bucket_threshold(fraction: float) -> int:
+    """fraction -> kept-bucket count. ``round`` not ``int``: plain
+    truncation under-keeps any fraction whose binary-float image falls a
+    hair below (0.043*10000 = 429.99...97 -> 429 buckets = 4.29%). The
+    oracle SQL embeds this same Python-computed integer, so both engines
+    move together."""
+    return int(round(fraction * SAMPLE_MOD))
+
+
 def deterministic_sample(df: DataFrame, key: str, fraction: float) -> DataFrame:
     """Keep ~fraction of rows, membership fixed by content hash of key."""
-    return df.filter(sample_bucket(F.col(key)) < int(fraction * SAMPLE_MOD))
+    return df.filter(sample_bucket(F.col(key)) < bucket_threshold(fraction))
 
 
 def stratified_sample(
@@ -51,7 +60,11 @@ def stratified_sample(
     """
     b = sample_bucket(F.col(key))
     thresh = F.create_map(
-        *[x for s, frac in sorted(fractions.items()) for x in (F.lit(s), F.lit(int(frac * SAMPLE_MOD)))]
+        *[
+            x
+            for s, frac in sorted(fractions.items())
+            for x in (F.lit(s), F.lit(bucket_threshold(frac)))
+        ]
     )
     return df.filter(b < F.coalesce(thresh[F.col(stratum)], F.lit(0)))
 
@@ -61,8 +74,8 @@ def assign_split(
 ) -> Column:
     """'train' | 'val' | 'test' from the stable bucket (test = remainder)."""
     b = sample_bucket(key)
-    t_hi = int(train * SAMPLE_MOD)
-    v_hi = t_hi + int(val * SAMPLE_MOD)
+    t_hi = bucket_threshold(train)
+    v_hi = t_hi + bucket_threshold(val)
     return (
         F.when(b < t_hi, "train").when(b < v_hi, "val").otherwise("test")
     )

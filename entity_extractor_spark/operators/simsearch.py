@@ -64,11 +64,11 @@ def cosine_sql(a: str, b: str) -> str:
     )
 
 
-def _norm(vec: Column) -> Column:
+def norm_expr(vec: Column) -> Column:
     return F.sqrt(_dot(vec, vec))
 
 
-def _paired_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
+def paired_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
     """cosine from PRE-COMPUTED per-row norms — cosine_expr would re-fold
     sqrt(dot(v,v)) once per PAIR, tripling the fold work of every
     pair-scoring join (measured 2-3x on the contract bench). Identical
@@ -96,21 +96,21 @@ def brute_force_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            _norm(F.col(vec_col)).alias("qn"),
+            norm_expr(F.col(vec_col)).alias("qn"),
         )
     )
     scored = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
-            _norm(F.col(vec_col)).alias("cn"),
+            norm_expr(F.col(vec_col)).alias("cn"),
         )
         .join(q, F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.round(
-                _paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+                paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
             ).alias("cos"),
         )
     )
@@ -162,14 +162,14 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         lsh_bucket(F.col(vec_col), dim).alias("bucket"),
-        _norm(F.col(vec_col)).alias("cn"),
+        norm_expr(F.col(vec_col)).alias("cn"),
     )
     bq = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
             lsh_bucket(F.col(vec_col), dim).alias("bucket"),
-            _norm(F.col(vec_col)).alias("qn"),
+            norm_expr(F.col(vec_col)).alias("qn"),
         )
     )
     scored = (
@@ -179,7 +179,7 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+                paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
             ).alias("cos"),
         )
     )
@@ -235,7 +235,7 @@ def ivf_topk(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
-            _norm(F.col(vec_col)).alias("cn"),
+            norm_expr(F.col(vec_col)).alias("cn"),
         )
         .withColumn("_cs", centroid_scores(F.col("cv"), dim, n_centroids))
         .withColumn(
@@ -251,7 +251,7 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            _norm(F.col(vec_col)).alias("qn"),
+            norm_expr(F.col(vec_col)).alias("qn"),
         )
         .withColumn("_qs", centroid_scores(F.col("qv"), dim, n_centroids))
         .withColumn("cell", F.explode(probe))
@@ -264,7 +264,7 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+                paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
             ).alias("cos"),
         )
     )
@@ -319,13 +319,13 @@ def embedding_near_dups(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
-        _norm(F.col(vec_col)).alias("_nrm"),
+        norm_expr(F.col(vec_col)).alias("_nrm"),
     )
     bucket_n = F.count(F.lit(1)).over(Window.partitionBy("_bucket"))
     b = b.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket).drop("_n")
     a = b.select(F.col("_id").alias("i"), F.col("_v").alias("va"), F.col("_nrm").alias("na"), "_bucket")
     c = b.select(F.col("_id").alias("j"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb"), "_bucket")
-    cos = _paired_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    cos = paired_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         a.join(c, "_bucket")
         .filter(F.col("i") < F.col("j"))

@@ -100,13 +100,16 @@ def _session_fn(gap_seconds: int):
             else:
                 cur[1] = max(cur[1], iv[1])
                 cur[2] += iv[2]
-        # a session is FINAL only once the watermark passed its end+gap —
-        # no within-watermark event can extend or merge it anymore.
-        # Emitting on gap-split alone would double-emit when a late
-        # (but in-watermark) event bridges two already-split sessions.
+        # a session is FINAL only once the watermark is STRICTLY past its
+        # end+gap — Spark still admits events with ts == watermark, and
+        # an event at exactly end+gap merges under the (<= gap) rule, so
+        # an inclusive check could emit a session that a boundary event
+        # then legally extends. Emitting on gap-split alone would
+        # likewise double-emit when a late (but in-watermark) event
+        # bridges two already-split sessions.
         wm_us = state.getCurrentWatermarkMs() * 1000
-        final = [tuple(iv) for iv in merged if iv[1] + gap_us <= wm_us]
-        pending = [iv for iv in merged if iv[1] + gap_us > wm_us]
+        final = [tuple(iv) for iv in merged if iv[1] + gap_us < wm_us]
+        pending = [iv for iv in merged if iv[1] + gap_us >= wm_us]
         if pending:
             state.update(
                 (

@@ -230,3 +230,58 @@ def test_multimodal_resize_and_frame_sample(spark):
         resize_assets(assets, fake=False).collect()
     with pytest.raises(Exception, match="NotImplementedError|real frame"):
         sample_frames(assets, fake=False).collect()
+
+
+def test_embedding_lsh_hot_bucket_guard_boundary(spark):
+    """The max_bucket guard must (a) keep a bucket of exactly max_bucket
+    (<= boundary), (b) drop a larger one, and (c) agree with the DuckDB
+    oracle mirror at both boundaries (round-2 review: at contract scale
+    the guard never trips, so this forces it)."""
+    import duckdb
+    import pandas as pd
+
+    dim = 8
+    # 10 identical vectors -> one bucket of size 10; 3 vectors of another
+    # direction -> a second bucket (orthogonal-ish so cosine < threshold
+    # across groups doesn't matter — they're in different buckets anyway)
+    rows = [(i, [1.0] * dim) for i in range(10)] + [
+        (100 + i, [1.0] + [-1.0] * (dim - 1)) for i in range(3)
+    ]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    e = spark.createDataFrame(pdf)
+
+    def spark_pairs(max_bucket):
+        return {
+            (r["i"], r["j"])
+            for r in S.embedding_near_dups(
+                e, dim=dim, threshold=0.9, max_bucket=max_bucket
+            ).collect()
+        }
+
+    def duck_pairs(max_bucket):
+        con = duckdb.connect()
+        con.register("embeddings", pdf)
+        sql = f"""
+            WITH b0 AS (
+              SELECT vec_id, embedding,
+                     {S.lsh_bucket_sql('embedding', dim)} AS bucket
+              FROM embeddings
+            ),
+            b AS (
+              SELECT vec_id, embedding, bucket FROM (
+                SELECT *, count(*) OVER (PARTITION BY bucket) AS _n FROM b0
+              ) WHERE _n <= {max_bucket}
+            )
+            SELECT a.vec_id AS i, c.vec_id AS j
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            WHERE {S.cosine_sql('a.embedding', 'c.embedding')} >= 0.9
+        """
+        return {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+
+    kept = spark_pairs(10)  # bucket size == max_bucket: KEPT
+    assert len(kept) == 45 + 3  # C(10,2) identical pairs + C(3,2)
+    assert kept == duck_pairs(10)
+
+    dropped = spark_pairs(9)  # the 10-bucket exceeds the guard: DROPPED
+    assert len(dropped) == 3  # only the size-3 bucket survives
+    assert dropped == duck_pairs(9)
