@@ -712,6 +712,58 @@ def q_conv_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_digest(m).orderBy("conv_id")
 
 
+NER_EXPORT_TERMS = ["query", "stream"]  # case-sensitive literals (F9 shape)
+
+
+def q_ner_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NER training-record export (`export_ner_training_data.py:26-43`):
+    per-doc sorted span array, canonicalized to 'start:end:label' csv for
+    the cross-engine compare. Spans here come from the SQL-expressible
+    case-sensitive all-occurrence path (the span_find split trick); the
+    kernel-based mention path flows through the same operator in unit
+    tests."""
+    from entity_extractor_spark.operators.ner_export import ner_training_records, spans_csv
+
+    d = _load(spark, sf_dir, "documents")
+    t = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        "text",
+    )
+    parts_list = []
+    for term in NER_EXPORT_TERMS:
+        L = len(term)
+        parts = F.split(F.col("text"), term, -1)
+        e = t.select(
+            "conv_id",
+            "turn_idx",
+            F.size(parts).alias("n"),
+            F.posexplode(parts).alias("pos", "part"),
+        )
+        w = Window.partitionBy("conv_id").orderBy("pos")
+        cum = F.sum(F.length("part")).over(w)
+        parts_list.append(
+            e.withColumn("start", (cum + F.col("pos") * F.lit(L)).cast("int"))
+            .filter(F.col("pos") < F.col("n") - 1)
+            .select(
+                "conv_id",
+                "turn_idx",
+                "start",
+                (F.col("start") + F.lit(L)).cast("int").alias("end"),
+                F.lit(term).alias("label"),
+            )
+        )
+    mentions = parts_list[0]
+    for p in parts_list[1:]:
+        mentions = mentions.unionByName(p)
+    rec = ner_training_records(mentions, t, label_col="label")
+    return rec.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        spans_csv().alias("spans_csv"),
+        F.size("spans").cast("long").alias("n_spans"),
+    ).orderBy("doc_id")
+
+
 def q_salted_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R6, non-associative variant: two-stage skew-safe collect_list —
     the salted template for aggregates map-side combine cannot protect
@@ -766,6 +818,7 @@ QUERIES = {
     "predicate_triples": q_predicate_triples,
     "graph_edges": q_graph_edges,
     "salted_collect": q_salted_collect,
+    "ner_training_export": q_ner_training_export,
 }
 
 
@@ -1245,6 +1298,38 @@ def _oracles() -> dict[str, str]:
             SELECT subj, pred, obj FROM trip ORDER BY pred, subj, obj
         """,
         "scored_candidates": _scored_candidates_sql(),
+        "ner_training_export": " ".join(
+            ["WITH "]
+            + [
+                f"""sp_{i} AS (
+                  SELECT doc_id, CAST(sum(length(part)) OVER (PARTITION BY doc_id ORDER BY pos)
+                         + pos * {len(term)} AS INT) AS start,
+                         CAST(len(parts) AS BIGINT) AS n, pos
+                  FROM (
+                    SELECT doc_id, parts, generate_subscripts(parts, 1) - 1 AS pos,
+                           unnest(parts) AS part
+                    FROM (SELECT doc_id, str_split(text, '{term}') AS parts FROM documents)
+                  )
+                  QUALIFY pos < n - 1
+                ),"""
+                for i, term in enumerate(NER_EXPORT_TERMS)
+            ]
+            + [
+                "allspans AS ("
+                + " UNION ALL ".join(
+                    f"SELECT doc_id, start, start + {len(term)} AS \"end\", '{term}' AS label FROM sp_{i}"
+                    for i, term in enumerate(NER_EXPORT_TERMS)
+                )
+                + ")",
+                """
+                SELECT doc_id,
+                       string_agg(CAST(start AS VARCHAR) || ':' || CAST("end" AS VARCHAR) || ':' || label,
+                                  ',' ORDER BY start, "end", label) AS spans_csv,
+                       COUNT(*) AS n_spans
+                FROM allspans GROUP BY doc_id ORDER BY doc_id
+                """,
+            ]
+        ),
         "salted_collect": """
             SELECT user_id,
                    array_to_string(list(event_id ORDER BY event_id), ',') AS ids_csv,

@@ -99,3 +99,23 @@ def test_per_turn_text_roundtrip(spark):
     assert (back["text"] == orig["text"]).all()
     assert (back["conv_id"] == orig["conv_id"]).all()
     assert (back["turn_idx"].astype("int64") == orig["turn_idx"].astype("int64")).all()
+
+
+def test_ner_training_records_from_kernel_mentions(spark, mini_case):
+    """NER export composes with the kernel scan: one record per matched
+    turn, spans sorted by (start, end, label), text carried back."""
+    from entity_extractor_spark.operators.ner_export import ner_training_records
+
+    transcripts, gazetteer = mini_case
+    t = to_spark(spark, transcripts)
+    m = extract_mentions(t, gazetteer)
+    rec = ner_training_records(m, t).collect()
+    by_turn = {r["turn_idx"]: r for r in rec}
+    assert set(by_turn) == {0, 1, 2}  # turn 3 has no mention -> no record
+    assert [len(by_turn[i]["spans"]) for i in (0, 1, 2)] == [2, 1, 4]
+    for r in rec:
+        spans = [(s["start"], s["end"], s["label"]) for s in r["spans"]]
+        assert spans == sorted(spans)
+        # every span's slice is the surface that fired (case-insensitive)
+        for s, e_, lbl in spans:
+            assert r["text"][s:e_].lower() == "sushi"
