@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SYNTH_CONVS = int(os.environ.get("SPARK_GRAFT_SYNTH_CONVS", "48000"))
+# best-of-N after the cold pass; the sandbox steals CPU in bursts, so
+# single samples are 2-3x off — raise to 5 for regression triage runs
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 # relational + mention-scan core
 HEADLINE = [
@@ -117,7 +120,7 @@ def main() -> None:
         cold[name] = round(time.perf_counter() - t0, 3)
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(REPEATS):
             t0 = time.perf_counter()
             _materialize(qs[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
@@ -134,7 +137,7 @@ def main() -> None:
     n_turns = transcripts.count()
     _materialize(extract_mentions(transcripts, gaz))  # warm (broadcast + workers)
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(max(3, REPEATS)):
         t0 = time.perf_counter()
         _materialize(extract_mentions(transcripts, gaz))
         dt = min(dt, time.perf_counter() - t0)
@@ -162,7 +165,7 @@ def main() -> None:
 
     _materialize(kg())
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(REPEATS):
         t0 = time.perf_counter()
         _materialize(kg())
         dt = min(dt, time.perf_counter() - t0)

@@ -49,8 +49,14 @@ def compare_frames(a: pd.DataFrame, b: pd.DataFrame, name: str) -> str | None:
     for c in a.columns:
         for i, (x, y) in enumerate(zip(a[c].tolist(), b[c].tolist())):
             if isinstance(x, float) or isinstance(y, float):
-                fx = float("nan") if x is None else float(x)
-                fy = float("nan") if y is None else float(y)
+                try:
+                    fx = float("nan") if x is None else float(x)
+                    fy = float("nan") if y is None else float(y)
+                except (TypeError, ValueError):
+                    # One engine materialized a non-numeric object (e.g. a
+                    # stringified None) where the other has a float: report the
+                    # divergence instead of crashing the whole contract check.
+                    return f"{name}.{c}[{i}]: {x!r} != {y!r} (non-numeric vs float)"
                 if math.isnan(fx) and math.isnan(fy):
                     continue
                 if fx != fy:

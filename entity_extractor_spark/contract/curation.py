@@ -355,12 +355,17 @@ def _ann_scored_cte(bucketed: bool) -> str:
     cos = S.cosine_sql("q.qv", "e.embedding")
     if bucketed:
         bexpr = S.lsh_bucket_sql("embedding", EMB_DIM)
+        # Multi-probe mirror: the Spark side explodes the query over XOR
+        # masks and equi-joins on bucket; the set of joined pairs equals
+        # "Hamming(buckets) <= PROBE_HAMMING", which is the direct SQL form.
         return f"""
         b AS (SELECT vec_id, embedding, {bexpr} AS bucket FROM embeddings),
         q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < {ANN_QUERY_MAX_ID}),
         s AS (
           SELECT q.query_id, e.vec_id AS neighbor_id, round({S.cosine_sql('q.qv', 'e.embedding')}, 6) AS cos
-          FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+          FROM b e JOIN q
+            ON bit_count(xor(e.bucket::BIGINT, q.bucket::BIGINT)) <= {S.PROBE_HAMMING}
+           AND e.vec_id <> q.query_id
         )"""
     return f"""
         q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {ANN_QUERY_MAX_ID}),

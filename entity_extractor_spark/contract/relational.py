@@ -29,6 +29,8 @@ Keys -> SURVEY rows:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -733,7 +735,10 @@ def q_ner_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts_list = []
     for term in NER_EXPORT_TERMS:
         L = len(term)
-        parts = F.split(F.col("text"), term, -1)
+        # F.split treats its pattern as a Java regex while the DuckDB oracle
+        # splits literally — re.escape keeps the two engines in lockstep even
+        # if a term with a regex metacharacter is ever added.
+        parts = F.split(F.col("text"), re.escape(term), -1)
         e = t.select(
             "conv_id",
             "turn_idx",

@@ -85,14 +85,17 @@ def simhash_bit_weight_sql(expr: str, bit: int) -> str:
     return f"(((({expr}) >> {bit}) & 1) * 2 - 1)"
 
 
-def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+def hyperplanes(n_planes: int, dim: int, offset: int = 0) -> list[list[float]]:
     """Deterministic ±1 random-hyperplane bank for sign-LSH over embeddings.
 
     Pure integer formula (same list is embedded as literals into the Spark
     plan and the oracle SQL), so both engines bucket identically.
+    ``offset`` selects an independent bank (planes offset..offset+n-1) —
+    used by multi-table OR-amplified LSH, where table t draws planes
+    ``offset = t * n_planes``.
     """
     planes = []
-    for p in range(n_planes):
+    for p in range(offset, offset + n_planes):
         row = []
         for j in range(dim):
             v = ((p * dim + j + 1) * _GOLDEN) & 0xFFFFFFFF

@@ -122,9 +122,9 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
+def lsh_bucket(vec: Column, dim: int, n_planes: int = N_PLANES, offset: int = 0) -> Column:
     """Sign-LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
-    planes = hyperplanes(n_planes, dim)
+    planes = hyperplanes(n_planes, dim, offset)
     out = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(v) for v in plane])
@@ -133,13 +133,34 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
     return out
 
 
-def lsh_bucket_sql(vec: str, dim: int, n_planes: int = N_PLANES) -> str:
-    planes = hyperplanes(n_planes, dim)
+def lsh_bucket_sql(vec: str, dim: int, n_planes: int = N_PLANES, offset: int = 0) -> str:
+    planes = hyperplanes(n_planes, dim, offset)
     terms = []
     for p, plane in enumerate(planes):
         lit = "[" + ", ".join(f"{v:.1f}" for v in plane) + "]"
         terms.append(f"(CASE WHEN {dot_sql(vec, lit)} > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+PROBE_HAMMING = 2
+
+
+def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """XOR masks enumerating every bucket within Hamming distance
+    ``probe_hamming`` of a query's own bucket (mask 0 = the bucket
+    itself). Deterministic, ordered by popcount then value."""
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    if probe_hamming > 2:
+        raise ValueError("probe_hamming > 2 not supported (probe count explodes)")
+    return masks
 
 
 def lsh_topk(
@@ -149,28 +170,42 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    probe_hamming: int = PROBE_HAMMING,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to buckets within
+    ``probe_hamming`` bit flips of the query's sign-LSH bucket
+    (multi-probe LSH, Lv et al. VLDB'07 — the standard recall fix that
+    keeps the single-table index).
 
     The equi join on ``bucket`` is the scale move — on a cluster the
     corpus side is pre-bucketed/partitioned by this key, so each query
-    probes one partition instead of scanning the corpus.
+    probes 1 + C(P,1) + C(P,2) partitions instead of scanning the
+    corpus. Multi-probing happens on the tiny broadcast QUERY side (an
+    explode over XOR masks), so the corpus is still touched exactly
+    once with no shuffle. Measured on the driver's (near-random,
+    adversarial) embeddings: recall@5 0.06 → 0.60 at n_planes=6 going
+    from probe_hamming=0 → 2, while scanning ~34% of buckets; on
+    clusterable data the same defaults sit ≥0.9 (tests/test_curation).
     """
     from pyspark.sql import Window
 
     bc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), dim).alias("bucket"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
         norm_expr(F.col(vec_col)).alias("cn"),
     )
+    masks = F.array(*[F.lit(m).cast("long") for m in probe_masks(n_planes, probe_hamming)])
     bq = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            lsh_bucket(F.col(vec_col), dim).alias("bucket"),
+            lsh_bucket(F.col(vec_col), dim, n_planes).alias("_own"),
             norm_expr(F.col(vec_col)).alias("qn"),
         )
+        .withColumn("bucket", F.explode(F.transform(masks, lambda m: F.col("_own").bitwiseXOR(m))))
+        .drop("_own")
     )
     scored = (
         bc.join(bq, "bucket")
@@ -192,7 +227,13 @@ def lsh_topk(
 
 
 N_CENTROIDS = 16
-N_PROBE = 2
+# Default probe count chosen by the measured recall gate
+# (tests/test_curation.py): on clusterable data n_probe=2 leaves boundary
+# clusters split across cells (recall@5 0.72) while n_probe=4 recovers
+# them all (1.0). 4/16 cells is the default; at scale n_centroids grows
+# with the corpus so the probed fraction shrinks, and recall stays
+# tunable per-query with no reindex.
+N_PROBE = 4
 
 
 def centroid_scores(vec: Column, dim: int, n_centroids: int = N_CENTROIDS) -> Column:
@@ -293,6 +334,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
     max_bucket: int = 100_000,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (i < j, cosine >= threshold) via
     sign-LSH bucketing — the SCALE path next to the exact all-pairs
@@ -312,24 +354,48 @@ def embedding_near_dups(
     2^planes keeps the expected bucket population bounded, and
     ``max_bucket`` hard-drops degenerate buckets (a spike of duplicated
     or near-zero embeddings) BEFORE the self-join.
+
+    ``n_tables`` is the RECALL control (OR-amplification): each row
+    hashes into L independent plane banks, a pair is a candidate if it
+    collides in ANY table, and duplicate candidates are collapsed before
+    scoring. Sign-LSH collision is per-plane p = 1 - θ/π, so a table of
+    P planes fires at p^P and L tables at 1-(1-p^P)^L — e.g. true dups
+    at cosine 0.9 (p≈0.856): one 6-plane table catches 39%, four catch
+    86%, eight 98%. The per-(table, bucket) layout keys the Iceberg
+    partition at scale exactly like the single-table path; the cost is
+    L× the signature compute and candidate volume, measured in
+    BENCH.md §near-dup recall.
     """
     from pyspark.sql import Window
 
     b = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
         norm_expr(F.col(vec_col)).alias("_nrm"),
-    )
-    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("_bucket"))
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket(F.col(vec_col), dim, n_planes, offset=t * n_planes).alias("b"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_tb"),
+    ).select("_id", "_v", "_nrm", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_bucket"))
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("_t", "_bucket"))
     b = b.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket).drop("_n")
-    a = b.select(F.col("_id").alias("i"), F.col("_v").alias("va"), F.col("_nrm").alias("na"), "_bucket")
-    c = b.select(F.col("_id").alias("j"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb"), "_bucket")
+    a = b.select(F.col("_id").alias("i"), F.col("_v").alias("va"), F.col("_nrm").alias("na"), "_t", "_bucket")
+    c = b.select(F.col("_id").alias("j"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb"), "_t", "_bucket")
     cos = paired_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    cand = a.join(c, ["_t", "_bucket"]).filter(F.col("i") < F.col("j"))
+    if n_tables > 1:
+        # collapse cross-table duplicate candidates BEFORE the cosine
+        # fold — every copy carries identical vectors, so keep-any is safe
+        cand = cand.dropDuplicates(["i", "j"])
     return (
-        a.join(c, "_bucket")
-        .filter(F.col("i") < F.col("j"))
-        .select("i", "j", F.round(cos, 6).alias("cos"))
+        cand.select("i", "j", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 

@@ -76,13 +76,164 @@ def test_lsh_topk_subset_of_bucket(spark):
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     q = e.filter(F.col("vec_id") < 3)
     rows = S.lsh_topk(e, q, dim=64, k=4).collect()
-    # approximate: every returned neighbor must share the query's bucket
+    # multi-probe: every returned neighbor must lie within PROBE_HAMMING
+    # bit flips of the query's bucket; with probe_hamming=0 it must share
+    # the bucket exactly
     buckets = {
         r["vec_id"]: r["b"]
         for r in e.select("vec_id", S.lsh_bucket(F.col("embedding"), 64).alias("b")).collect()
     }
     for r in rows:
+        ham = bin(buckets[r["query_id"]] ^ buckets[r["neighbor_id"]]).count("1")
+        assert ham <= S.PROBE_HAMMING
+    strict = S.lsh_topk(e, q, dim=64, k=4, probe_hamming=0).collect()
+    for r in strict:
         assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+
+
+def _clustered_embeddings(spark, n_clusters=8, per_cluster=25, dim=64, noise=0.15):
+    """Deterministic clusterable corpus: ±1 cluster centers (distinct from
+    the index's own hyperplane bank) + small seeded noise. This is the
+    REPRESENTATIVE case for an ANN index — real embedding spaces cluster;
+    the driver's random-vector table is the adversarial worst case."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.choice([-1.0, 1.0], size=(n_clusters, dim))
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + noise * rng.standard_normal((per_cluster, dim))
+        for i, p in enumerate(pts):
+            rows.append((c * per_cluster + i, [float(v) for v in p]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_recall_defaults_on_clusterable_data(spark):
+    """Retrieval-quality gate (round-3 VERDICT item 2), part 1: on
+    clusterable data — the case an ANN index exists for — the DEFAULT
+    settings must deliver high recall@5 vs exact brute force."""
+    from entity_extractor_spark.operators.ann_eval import mean_recall
+
+    e = _clustered_embeddings(spark).cache()
+    q = e.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(e, q, k=5).cache()
+    r_lsh = mean_recall(S.lsh_topk(e, q, dim=64, k=5), exact, k=5)
+    r_ivf = mean_recall(S.ivf_topk(e, q, dim=64, k=5), exact, k=5)
+    assert r_lsh >= 0.9, f"sign-LSH default recall@5 {r_lsh:.3f} < 0.9 on clusterable data"
+    assert r_ivf >= 0.9, f"IVF default recall@5 {r_ivf:.3f} < 0.9 on clusterable data"
+    exact.unpersist()
+    e.unpersist()
+
+
+def test_ann_recall_adversarial_floor_and_limits(spark):
+    """Part 2: the driver embeddings are near-random (5th-NN cosine
+    ≈ 0.3) — the worst case for any ANN index, where recall ≈ fraction
+    of corpus scanned. Floors here pin the measured multi-probe curve
+    (BENCH.md §ANN recall); the limit cases (probe every cell / single
+    bucket) must be EXACTLY 1.0, which pins the evaluation harness."""
+    from entity_extractor_spark.operators.ann_eval import mean_recall
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(e, q, k=5).cache()
+
+    # Default multi-probe (n_planes=6, probe_hamming=2): measured 0.60.
+    r_lsh = mean_recall(S.lsh_topk(e, q, dim=64, k=5), exact, k=5)
+    assert r_lsh >= 0.55, f"multi-probe LSH recall@5 {r_lsh:.3f} < 0.55"
+    # Single-probe collapses on random data (measured 0.06) — the reason
+    # probe_hamming=2 is the default.
+    r_lsh0 = mean_recall(S.lsh_topk(e, q, dim=64, k=5, probe_hamming=0), exact, k=5)
+    assert r_lsh0 <= r_lsh
+    # IVF: recall grows monotonically with n_probe; 8/16 cells ≥ 0.6.
+    r_p2 = mean_recall(S.ivf_topk(e, q, dim=64, k=5, n_probe=2), exact, k=5)
+    r_p8 = mean_recall(S.ivf_topk(e, q, dim=64, k=5, n_probe=8), exact, k=5)
+    assert r_p8 >= 0.6, f"IVF n_probe=8 recall@5 {r_p8:.3f} < 0.6"
+    assert r_p2 <= r_p8
+
+    # Limit cases must be exact.
+    r_ivf_all = mean_recall(
+        S.ivf_topk(e, q, dim=64, k=5, n_probe=S.N_CENTROIDS), exact, k=5
+    )
+    r_lsh_one = mean_recall(
+        S.lsh_topk(e, q, dim=64, k=5, n_planes=0, probe_hamming=0), exact, k=5
+    )
+    assert r_ivf_all == 1.0, f"IVF with n_probe=n_centroids must be exact, got {r_ivf_all}"
+    assert r_lsh_one == 1.0, f"LSH with 0 planes must be exact, got {r_lsh_one}"
+    exact.unpersist()
+
+
+def test_embedding_dups_lsh_pair_recall(spark):
+    """Pair recall of the LSH near-dup scale path vs the exact all-pairs
+    baseline (round-3 VERDICT item 4). No false positives are possible
+    (candidates are re-scored exactly), so recall is the only quality
+    axis; n_planes=0 (single bucket) must recover every pair."""
+    from entity_extractor_spark.operators.ann_eval import pair_recall
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    nrm = S.norm_expr(F.col("embedding"))
+    a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"), nrm.alias("na"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"), nrm.alias("nb"))
+    cos = S.paired_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    exact = (
+        a.join(b, F.col("i") < F.col("j"))
+        .select("i", "j", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .cache()
+    )
+    approx = S.embedding_near_dups(e, dim=64, threshold=0.4, n_planes=6)
+    r_default = pair_recall(approx, exact)
+    r_exhaust = pair_recall(S.embedding_near_dups(e, dim=64, threshold=0.4, n_planes=0), exact)
+    assert r_exhaust == 1.0, f"single-bucket LSH must recover all pairs, got {r_exhaust}"
+    # Driver pairs sit barely above the 0.4 threshold (random vectors), so a
+    # single 6-plane table fires at ≈(1-acos(0.4)/π)^6 ≈ 0.06 — the measured
+    # 0.106 matches theory. OR-amplification (n_tables) is the recall dial:
+    # 4 tables must strictly dominate 1, and all tables of 0 planes is
+    # exhaustive again.
+    assert r_default >= 0.05, f"n_planes=6 pair recall {r_default:.3f} below theory floor"
+    r_l4 = pair_recall(
+        S.embedding_near_dups(e, dim=64, threshold=0.4, n_planes=6, n_tables=4), exact
+    )
+    assert r_l4 > r_default, f"4-table OR-amplified recall {r_l4:.3f} <= single-table {r_default:.3f}"
+    # fewer planes -> bigger buckets -> recall must not decrease
+    r_fewer = pair_recall(S.embedding_near_dups(e, dim=64, threshold=0.4, n_planes=3), exact)
+    assert r_fewer >= r_default - 1e-9
+    exact.unpersist()
+
+
+def test_embedding_dups_lsh_recall_on_planted_dups(spark):
+    """True near-duplicates (cosine ≥ 0.9 — the case dedup exists for)
+    must be caught reliably by multi-table LSH: plant 30 dup pairs on a
+    random background and require ≥0.9 recall at n_tables=8, monotone in
+    the table count."""
+    import numpy as np
+
+    from entity_extractor_spark.operators.ann_eval import pair_recall
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((120, 64))
+    rows = [(i, [float(v) for v in base[i]]) for i in range(120)]
+    # 30 planted dups: copy of row i with 5% noise -> cosine ≈ 0.97+
+    for d in range(30):
+        noisy = base[d] + 0.05 * rng.standard_normal(64)
+        rows.append((1000 + d, [float(v) for v in noisy]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    nrm = S.norm_expr(F.col("embedding"))
+    a = e.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"), nrm.alias("na"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"), nrm.alias("nb"))
+    cos = S.paired_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    exact = (
+        a.join(b, F.col("i") < F.col("j"))
+        .select("i", "j", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= 0.9)
+        .cache()
+    )
+    assert exact.count() >= 30  # the planted pairs are all there
+    r1 = pair_recall(S.embedding_near_dups(e, dim=64, threshold=0.9, n_planes=6, n_tables=1), exact)
+    r8 = pair_recall(S.embedding_near_dups(e, dim=64, threshold=0.9, n_planes=6, n_tables=8), exact)
+    assert r8 >= 0.9, f"8-table LSH recall on planted dups {r8:.3f} < 0.9"
+    assert r1 <= r8
+    exact.unpersist()
+    e.unpersist()
 
 
 def test_language_id(spark):
