@@ -126,6 +126,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 TFIDF_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the multi-probe sign-LSH index vs the exact
+    brute-force baseline — retrieval QUALITY as a hash-verified contract
+    value, not just a test assertion. Both sides and the recall join are
+    mirrored exactly in SQL (`operators/ann_eval.py:topk_recall`)."""
+    from entity_extractor_spark.operators.ann_eval import topk_recall
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    approx = S.lsh_topk(e, q, dim=EMB_DIM, k=ANN_K)
+    exact = S.brute_force_topk(e, q, k=ANN_K)
+    return topk_recall(approx, exact, ANN_K).orderBy("query_id")
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extractor_spark.operators.tfidf import tfidf_topk
 
@@ -258,6 +272,7 @@ QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_recall_lsh": q_ann_recall_lsh,
     "tfidf_topk": q_tfidf_topk,
     "lang_id_counts": q_lang_id_counts,
     "quality_scores": q_quality_scores,
@@ -411,6 +426,50 @@ _ANN_TAIL = f"""
         ) WHERE rank <= {ANN_K} ORDER BY query_id, rank"""
 
 
+def _ann_recall_lsh_sql() -> str:
+    """Oracle for `ann_recall_lsh`: rebuild both top-k sets (multi-probe
+    LSH and exact brute force) with the same rounding and tie-break as
+    `_ann_scored_cte`/`_ANN_TAIL`, LEFT JOIN exact->approx, recall =
+    hits / k per query. Division is DOUBLE/int in both engines over
+    identical integers, so the value hash is exact."""
+    bexpr = S.lsh_bucket_sql("embedding", EMB_DIM)
+    lsh_cos = S.cosine_sql("qq.qv", "e.embedding")
+    ex_cos = S.cosine_sql("q2.qv", "e.embedding")
+    return f"""
+        WITH eb AS (SELECT vec_id, embedding, {bexpr} AS bucket FROM embeddings),
+        qq AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM eb WHERE vec_id < {ANN_QUERY_MAX_ID}),
+        lsh_s AS (
+          SELECT qq.query_id, e.vec_id AS neighbor_id, round({lsh_cos}, 6) AS cos
+          FROM eb e JOIN qq
+            ON bit_count(xor(e.bucket::BIGINT, qq.bucket::BIGINT)) <= {S.PROBE_HAMMING}
+           AND e.vec_id <> qq.query_id
+        ),
+        lsh_k AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM lsh_s
+          ) WHERE rank <= {ANN_K}
+        ),
+        ex_s AS (
+          SELECT q2.query_id, e.vec_id AS neighbor_id, round({ex_cos}, 6) AS cos
+          FROM embeddings e CROSS JOIN
+               (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id < {ANN_QUERY_MAX_ID}) q2
+          WHERE e.vec_id <> q2.query_id
+        ),
+        ex_k AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM ex_s
+          ) WHERE rank <= {ANN_K}
+        )
+        SELECT ex_k.query_id AS query_id,
+               CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / {ANN_K} AS recall
+        FROM ex_k LEFT JOIN lsh_k l
+          ON l.query_id = ex_k.query_id AND l.neighbor_id = ex_k.neighbor_id
+        GROUP BY ex_k.query_id ORDER BY query_id"""
+
+
 def _oracles() -> dict[str, str]:
     norm = T.normalize_text_sql("text")
     shingles3 = f"list_distinct({T.word_shingles_sql(T.tokenize_sql('text'), 3)})"
@@ -508,6 +567,7 @@ def _oracles() -> dict[str, str]:
         "ann_brute_topk": f"WITH {_ann_scored_cte(False)} {_ANN_TAIL}",
         "ann_lsh_topk": f"WITH {_ann_scored_cte(True)} {_ANN_TAIL}",
         "ann_ivf_topk": f"WITH {_ann_ivf_cte()} {_ANN_TAIL}",
+        "ann_recall_lsh": _ann_recall_lsh_sql(),
         "tfidf_topk": __import__(
             "entity_extractor_spark.operators.tfidf", fromlist=["tfidf_topk_sql"]
         ).tfidf_topk_sql(TFIDF_QUERY_IDS, ANN_K),

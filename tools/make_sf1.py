@@ -38,14 +38,47 @@ OFFSETS = {
     "embeddings": ["vec_id"],
     "customer": ["c_custkey"],
     "orders": ["o_orderkey"],
-    # nation is a dimension — copied once, never replicated
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    # lineitem's orderkey follows the orders offset (FK handled below)
+    "lineitem": [],
+    # nation/region are dimensions — copied once, never replicated
 }
+DIMS = ["nation", "region"]
 
 
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
-    con.execute(f"COPY (SELECT * FROM '{SRC}/nation.parquet') TO '{OUT}/nation.parquet' (FORMAT PARQUET)")
+    for d in DIMS:
+        con.execute(f"COPY (SELECT * FROM '{SRC}/{d}.parquet') TO '{OUT}/{d}.parquet' (FORMAT PARQUET)")
+    fk_strides = {
+        "o_custkey": con.execute(f"SELECT max(c_custkey) + 1 FROM '{SRC}/customer.parquet'").fetchone()[0],
+        "l_orderkey": con.execute(f"SELECT max(o_orderkey) + 1 FROM '{SRC}/orders.parquet'").fetchone()[0],
+        "l_partkey": con.execute(f"SELECT max(p_partkey) + 1 FROM '{SRC}/part.parquet'").fetchone()[0],
+        "l_suppkey": con.execute(f"SELECT max(s_suppkey) + 1 FROM '{SRC}/supplier.parquet'").fetchone()[0],
+    }
+    # embeddings are SYNTHESIZED fresh, not replicated: verbatim (or merely
+    # perturbed) replicas of the same vector are mutual near-dups, so every
+    # pair-emitting query's OUTPUT grows quadratically with the replica count
+    # (measured 84-156 s for embedding_dups_lsh at sf1 — output-bound, not a
+    # plan failure). Fresh hash-derived uniform vectors keep the real table's
+    # geometry: near-random, near-dups rare, pair output linear-ish.
+    dim = con.execute(f"SELECT max(len(embedding)) FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+    n_vec = COPIES * con.execute(f"SELECT count(*) FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+    con.execute(
+        f"""
+        COPY (
+          SELECT CAST(v AS BIGINT) AS vec_id,
+                 CAST(list_transform(range({dim}),
+                      i -> (CAST(hash(v * {dim} + i) % 2001 AS BIGINT) - 1000) / 1000.0) AS FLOAT[]) AS embedding,
+                 CAST(hash(v) % 10 AS INTEGER) AS label
+          FROM range({n_vec}) t(v)
+        ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    print(f"embeddings: {n_vec} rows (synthesized, dim={dim})")
+    del OFFSETS["embeddings"]
     for table, id_cols in OFFSETS.items():
         src = f"{SRC}/{table}.parquet"
         cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
@@ -59,13 +92,10 @@ def main() -> None:
                 if c in strides:
                     # CAST keeps the original integer type (BIGINT ids stay BIGINT)
                     exprs.append(f"CAST({c} + {rep * strides[c]} AS BIGINT) AS {c}")
-                elif table == "orders" and c == "o_custkey":
-                    # foreign key follows the customer offset so the join
-                    # fans out linearly, preserving sf0.1 selectivity
-                    cstride = con.execute(
-                        f"SELECT max(c_custkey) + 1 FROM '{SRC}/customer.parquet'"
-                    ).fetchone()[0]
-                    exprs.append(f"CAST(o_custkey + {rep * cstride} AS BIGINT) AS o_custkey")
+                elif c in fk_strides:
+                    # foreign keys follow their dimension's offset so joins
+                    # fan out linearly, preserving sf0.1 selectivity
+                    exprs.append(f"CAST({c} + {rep * fk_strides[c]} AS BIGINT) AS {c}")
                 else:
                     exprs.append(c)
             selects.append(f"SELECT {', '.join(exprs)} FROM '{src}'")
