@@ -140,6 +140,18 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_recall(approx, exact, ANN_K).orderBy("query_id")
 
 
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the IVF index vs exact brute force — same
+    hash-verified quality contract as `ann_recall_lsh`."""
+    from entity_extractor_spark.operators.ann_eval import topk_recall
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    approx = S.ivf_topk(e, q, dim=EMB_DIM, k=ANN_K)
+    exact = S.brute_force_topk(e, q, k=ANN_K)
+    return topk_recall(approx, exact, ANN_K).orderBy("query_id")
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extractor_spark.operators.tfidf import tfidf_topk
 
@@ -273,6 +285,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_recall_lsh": q_ann_recall_lsh,
+    "ann_recall_ivf": q_ann_recall_ivf,
     "tfidf_topk": q_tfidf_topk,
     "lang_id_counts": q_lang_id_counts,
     "quality_scores": q_quality_scores,
@@ -426,6 +439,39 @@ _ANN_TAIL = f"""
         ) WHERE rank <= {ANN_K} ORDER BY query_id, rank"""
 
 
+def _ann_recall_ivf_sql() -> str:
+    """Oracle for `ann_recall_ivf`: the IVF candidate CTE chain
+    (`_ann_ivf_cte`: b/qs/qp/s) + an exact brute-force chain with
+    disjoint names, joined into per-query recall@k."""
+    ex_cos = S.cosine_sql("q2.qv", "e.embedding")
+    return f"""
+        WITH {_ann_ivf_cte()},
+        ivf_k AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM s
+          ) WHERE rank <= {ANN_K}
+        ),
+        ex_s AS (
+          SELECT q2.query_id, e.vec_id AS neighbor_id, round({ex_cos}, 6) AS cos
+          FROM embeddings e CROSS JOIN
+               (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id < {ANN_QUERY_MAX_ID}) q2
+          WHERE e.vec_id <> q2.query_id
+        ),
+        ex_k AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM ex_s
+          ) WHERE rank <= {ANN_K}
+        )
+        SELECT ex_k.query_id AS query_id,
+               CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / {ANN_K} AS recall
+        FROM ex_k LEFT JOIN ivf_k l
+          ON l.query_id = ex_k.query_id AND l.neighbor_id = ex_k.neighbor_id
+        GROUP BY ex_k.query_id ORDER BY query_id"""
+
+
 def _ann_recall_lsh_sql() -> str:
     """Oracle for `ann_recall_lsh`: rebuild both top-k sets (multi-probe
     LSH and exact brute force) with the same rounding and tie-break as
@@ -568,6 +614,7 @@ def _oracles() -> dict[str, str]:
         "ann_lsh_topk": f"WITH {_ann_scored_cte(True)} {_ANN_TAIL}",
         "ann_ivf_topk": f"WITH {_ann_ivf_cte()} {_ANN_TAIL}",
         "ann_recall_lsh": _ann_recall_lsh_sql(),
+        "ann_recall_ivf": _ann_recall_ivf_sql(),
         "tfidf_topk": __import__(
             "entity_extractor_spark.operators.tfidf", fromlist=["tfidf_topk_sql"]
         ).tfidf_topk_sql(TFIDF_QUERY_IDS, ANN_K),

@@ -145,6 +145,19 @@ def lsh_bucket_sql(vec: str, dim: int, n_planes: int = N_PLANES, offset: int = 0
 PROBE_HAMMING = 2
 
 
+def planes_for(n_rows: int, target_bucket: int = 1024) -> int:
+    """The executable form of the near-dup scale rule: choose ``n_planes``
+    so the EXPECTED bucket population n_rows / 2^planes stays at
+    ``target_bucket`` — keeping per-bucket pair work (quadratic in bucket
+    size) bounded as the corpus grows. Measured at sf1 (20k vectors):
+    the sf0.1-tuned 6 planes scored ~10M candidate pairs; planes_for's
+    answer re-bounds it (BENCH.md §sf1 stress). At 10^12 rows with
+    target 10^4 this gives 27 planes — still one long column."""
+    import math
+
+    return max(1, math.ceil(math.log2(max(2.0, n_rows / target_bucket))))
+
+
 def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
     """XOR masks enumerating every bucket within Hamming distance
     ``probe_hamming`` of a query's own bucket (mask 0 = the bucket
@@ -236,16 +249,81 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
-def centroid_scores(vec: Column, dim: int, n_centroids: int = N_CENTROIDS) -> Column:
-    """Array of dot products against the deterministic centroid bank.
+def centroid_scores(
+    vec: Column,
+    dim: int,
+    n_centroids: int = N_CENTROIDS,
+    centroids: list[list[float]] | None = None,
+) -> Column:
+    """Array of per-centroid assignment scores (argmax = nearest cell).
 
-    Centroids are the formula-derived ±1 vectors of
+    Default bank: the formula-derived ±1 vectors of
     :func:`functions.hashing.hyperplanes` — all have identical norm
-    sqrt(dim), so argmax dot == argmax cosine and no normalization is
-    needed. The same literals are embedded in the oracle SQL.
+    sqrt(dim), so argmax dot == argmax cosine and the raw dot is the
+    score (the same literals are embedded in the oracle SQL, so this
+    path must stay bit-stable).
+
+    With LEARNED ``centroids`` (see :func:`train_centroids`) norms
+    differ, so the score is the nearest-Euclidean form
+    ``dot(v, c) - |c|^2 / 2`` (equivalent to argmin ||v - c||^2).
     """
-    cents = hyperplanes(n_centroids, dim)
-    return F.array(*[_dot(vec, F.array(*[F.lit(v) for v in c])) for c in cents])
+    if centroids is None:
+        cents = hyperplanes(n_centroids, dim)
+        return F.array(*[_dot(vec, F.array(*[F.lit(v) for v in c])) for c in cents])
+    scores = []
+    for c in centroids:
+        half_sq = sum(v * v for v in c) / 2.0
+        scores.append(_dot(vec, F.array(*[F.lit(v) for v in c])) - F.lit(half_sq))
+    return F.array(*scores)
+
+
+def train_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = N_CENTROIDS,
+    sample_size: int = 2048,
+    n_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means centroid bank for IVF — the standard
+    web-scale recipe: fit on a bounded sample, assign the full corpus
+    distributively.
+
+    The sample is content-hash-ordered (md5 of the id — stable under
+    repartitioning, same machinery as `operators/sampling.py`), so the
+    result is seedless-deterministic. The collect is bounded by
+    ``sample_size`` rows (~sample_size * dim * 8 bytes — a model fit on
+    the driver, like the gazetteer broadcast; SURVEY S3/J2), never the
+    corpus. Init = first ``n_centroids`` sample vectors in hash order;
+    Lloyd iterations in numpy; empty cells keep their previous centroid.
+
+    At 100 TB the returned bank is embedded as plan literals exactly like
+    the fixed bank, so corpus assignment (`ivf_topk(centroids=...)`)
+    remains a zero-shuffle map stage and the cell id is still the
+    Iceberg partition key — training better centroids changes WHERE rows
+    land, not how the plan scales.
+    """
+    import numpy as np
+
+    s = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h")
+        .limit(sample_size)
+    )
+    X = np.array([list(r["_v"]) for r in s.collect()], dtype=np.float64)
+    if len(X) < n_centroids:
+        raise ValueError(f"sample ({len(X)}) smaller than n_centroids ({n_centroids})")
+    C = X[:n_centroids].copy()
+    for _ in range(n_iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in C]
 
 
 def ivf_topk(
@@ -257,10 +335,14 @@ def ivf_topk(
     n_probe: int = N_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
-    ``n_centroids`` cells (nearest centroid by dot product, first-index
-    tie-break), probe each query's best ``n_probe`` cells.
+    ``n_centroids`` cells (nearest centroid, first-index tie-break),
+    probe each query's best ``n_probe`` cells. Pass ``centroids`` from
+    :func:`train_centroids` for a data-fitted bank (higher recall per
+    probed cell on clustered corpora); the default fixed ±1 bank is the
+    oracle-mirrored contract path.
 
     This is the third ANN path next to brute force (exact baseline) and
     sign-LSH: IVF is the standard web-scale layout — the cell id is the
@@ -278,7 +360,7 @@ def ivf_topk(
             F.col(vec_col).alias("cv"),
             norm_expr(F.col(vec_col)).alias("cn"),
         )
-        .withColumn("_cs", centroid_scores(F.col("cv"), dim, n_centroids))
+        .withColumn("_cs", centroid_scores(F.col("cv"), dim, n_centroids, centroids))
         .withColumn(
             "cell", F.expr("CAST(array_position(_cs, array_max(_cs)) - 1 AS INT)")
         )
@@ -294,7 +376,7 @@ def ivf_topk(
             F.col(vec_col).alias("qv"),
             norm_expr(F.col(vec_col)).alias("qn"),
         )
-        .withColumn("_qs", centroid_scores(F.col("qv"), dim, n_centroids))
+        .withColumn("_qs", centroid_scores(F.col("qv"), dim, n_centroids, centroids))
         .withColumn("cell", F.explode(probe))
         .drop("_qs")
     )

@@ -125,6 +125,30 @@ def test_ann_recall_defaults_on_clusterable_data(spark):
     e.unpersist()
 
 
+def test_ivf_learned_centroids_beat_fixed_bank(spark):
+    """`train_centroids` (deterministic sample k-means) must produce a
+    bank that matches or beats the fixed ±1 bank per probed cell on
+    clusterable data: with 16 learned centroids over 8 true clusters,
+    n_probe=1 should already be near-exact (each cluster owns >= 1
+    centroid), whereas the fixed bank needed n_probe=4. Also pins
+    determinism: two trainings yield identical banks."""
+    from entity_extractor_spark.operators.ann_eval import mean_recall
+
+    e = _clustered_embeddings(spark).cache()
+    q = e.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(e, q, k=5).cache()
+    cents = S.train_centroids(e, dim=64, n_centroids=16, sample_size=120)
+    assert cents == S.train_centroids(e, dim=64, n_centroids=16, sample_size=120)
+    r_learned_p1 = mean_recall(
+        S.ivf_topk(e, q, dim=64, k=5, n_probe=1, centroids=cents), exact, k=5
+    )
+    r_fixed_p1 = mean_recall(S.ivf_topk(e, q, dim=64, k=5, n_probe=1), exact, k=5)
+    assert r_learned_p1 >= r_fixed_p1, (r_learned_p1, r_fixed_p1)
+    assert r_learned_p1 >= 0.9, f"learned-centroid IVF n_probe=1 recall {r_learned_p1:.3f} < 0.9"
+    exact.unpersist()
+    e.unpersist()
+
+
 def test_ann_recall_adversarial_floor_and_limits(spark):
     """Part 2: the driver embeddings are near-random (5th-NN cosine
     ≈ 0.3) — the worst case for any ANN index, where recall ≈ fraction
@@ -198,6 +222,15 @@ def test_embedding_dups_lsh_pair_recall(spark):
     r_fewer = pair_recall(S.embedding_near_dups(e, dim=64, threshold=0.4, n_planes=3), exact)
     assert r_fewer >= r_default - 1e-9
     exact.unpersist()
+
+
+def test_planes_for_scale_rule():
+    assert S.planes_for(2_000, target_bucket=31) == 7
+    assert S.planes_for(20_000, target_bucket=20) == 10
+    assert S.planes_for(10**12, target_bucket=10**4) == 27
+    assert S.planes_for(10, target_bucket=1024) == 1  # never below 1
+    # monotone in corpus size
+    assert S.planes_for(10**9) >= S.planes_for(10**6) >= S.planes_for(10**3)
 
 
 def test_embedding_dups_lsh_recall_on_planted_dups(spark):
