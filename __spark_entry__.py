@@ -384,8 +384,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries added in round 2 AFTER the window froze (ner_training_export,
 # stratified_sample, sequence_packing_sorted) had NO driver-run history —
 # they were gated only by the local exact-oracle replica — so they rotate IN
-# here; dataset_split / token_stats / doc_fingerprint rotate out (each green
-# in BOTH CORRECTNESS_r01.json and CORRECTNESS_r02.json). The 32 contract
+# here, along with the round-3 recall metrics ann_recall_lsh/ann_recall_ivf;
+# dataset_split / token_stats / doc_fingerprint / tfidf_topk / lang_id_counts
+# rotate out (each green in BOTH CORRECTNESS_r01.json and r02.json). Contract
 # queries after the window are covered every round by the local replica
 # (tests/test_entry_oracle.py, dtype-sensitive); their cumulative driver
 # history is tabulated in README.md §Correctness-window rotation.
@@ -405,10 +406,13 @@ PRIORITY_KEYS = [
     # embedding_dups (exact all-pairs baseline, r01 driver-green) rotates
     # out for its LSH scale path
     "simhash_fingerprint", "simhash_pairs", "embedding_dups_lsh", "ann_brute_topk",
-    "ann_lsh_topk", "ann_ivf_topk", "tfidf_topk", "lang_id_counts", "quality_scores",
+    "ann_lsh_topk", "ann_ivf_topk", "quality_scores",
     "multimodal_meta",
     # round-3 rotation: first-ever driver rows for the three round-2 additions
+    # plus the two retrieval-quality metrics (tfidf_topk / lang_id_counts
+    # rotate out — each green in BOTH CORRECTNESS_r01.json and r02.json)
     "ner_training_export", "stratified_sample", "sequence_packing_sorted",
+    "ann_recall_lsh", "ann_recall_ivf",
     # kernel / grouped / temporal flagships
     "exact_mode_scan", "conv_digest", "asof_join", "interval_join",
 ]
