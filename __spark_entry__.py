@@ -401,20 +401,23 @@ PRIORITY_KEYS = [
     "cc_components", "graph_edges", "likelihood_filter", "predicate_triples",
     # round-2 fixes (previously hash-fail / rows-only / new)
     "scored_candidates", "sequence_packing", "multimodal_report", "salted_collect",
-    # training-data curation suite (first-class per the judge)
-    "dedup_exact", "minhash_signature", "minhash_lsh_pairs", "ngram_jaccard_pairs",
-    # embedding_dups (exact all-pairs baseline, r01 driver-green) rotates
-    # out for its LSH scale path
-    "simhash_fingerprint", "simhash_pairs", "embedding_dups_lsh", "ann_brute_topk",
+    # training-data curation suite (first-class per the judge); keys green
+    # in BOTH r01 and r02 rotate out for the round-3 additions:
+    # dedup_exact, minhash_signature, ngram_jaccard_pairs, simhash_pairs,
+    # ann_brute_topk, exact_mode_scan, tfidf_topk, lang_id_counts
+    "minhash_lsh_pairs",
+    "simhash_fingerprint", "embedding_dups_lsh",
     "ann_lsh_topk", "ann_ivf_topk", "quality_scores",
     "multimodal_meta",
     # round-3 rotation: first-ever driver rows for the three round-2 additions
-    # plus the two retrieval-quality metrics (tfidf_topk / lang_id_counts
-    # rotate out — each green in BOTH CORRECTNESS_r01.json and r02.json)
+    # plus the two retrieval-quality metrics
     "ner_training_export", "stratified_sample", "sequence_packing_sorted",
     "ann_recall_lsh", "ann_recall_ivf",
+    # round-3 additions: graph analytics, sketches, quantized ANN, hygiene
+    "pagerank_tokens", "graph_triangles", "co_lift", "kmv_distinct",
+    "ann_sq8_topk", "contamination",
     # kernel / grouped / temporal flagships
-    "exact_mode_scan", "conv_digest", "asof_join", "interval_join",
+    "conv_digest", "asof_join", "interval_join",
 ]
 
 

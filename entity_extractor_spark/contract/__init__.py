@@ -12,11 +12,11 @@ from __future__ import annotations
 
 
 def merged() -> tuple[dict, dict]:
-    from entity_extractor_spark.contract import curation, relational
+    from entity_extractor_spark.contract import analytics, curation, relational
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (curation, relational):
+    for mod in (analytics, curation, relational):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -1,0 +1,180 @@
+"""Graph-analytics + sketch + hygiene contract queries (round 3):
+fixed-point PageRank, triangle counting, co-occurrence lift, KMV
+distinct sketches, int8-quantized ANN, and benchmark decontamination —
+each with an exactly-mirrored DuckDB oracle.
+
+The graph queries run over the word-adjacency graph of the documents
+corpus (consecutive-token edges, the textbook word graph): the edge
+derivation is pure Catalyst (tokenize → 2-shingles → split), so both
+engines build the identical edge set and the algorithms' integer
+arithmetic hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.functions import text as T
+from entity_extractor_spark.operators import graph_algos as G
+from entity_extractor_spark.operators import simsearch as S
+from entity_extractor_spark.operators.decontam import (
+    contamination_report,
+    contamination_report_sql,
+)
+from entity_extractor_spark.operators.sketches import kmv_distinct, kmv_distinct_sql
+
+KMV_SHINGLE_N = 3
+CO_LIFT_ENTITIES = [
+    "spark", "stream", "vector", "hash", "merge", "batch",
+    "window", "join", "scan", "filter", "sort", "query",
+]
+BENCH_DOC_MAX_ID = 5
+# 4-gram overlap: at the fixture scale 5-grams almost never collide
+# (1 hit corpus-wide) while 3-grams flag ~30% of docs — 4 keeps the
+# check selective AND exercised (11 contaminated docs at sf0.01)
+DECONTAM_N = 4
+ANN_QUERY_MAX_ID = 10
+ANN_K = 5
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from entity_extractor_spark.io.sources import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _word_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed consecutive-token pairs (i, j) from documents.text."""
+    d = _load(spark, sf_dir, "documents")
+    toks = T.tokenize(F.col("text"))
+    pair = F.explode(T.word_shingles(toks, 2)).alias("pair")
+    return d.select(pair).select(
+        F.split(F.col("pair"), " ").getItem(0).alias("i"),
+        F.split(F.col("pair"), " ").getItem(1).alias("j"),
+    )
+
+
+def _word_edges_sql() -> str:
+    toks = T.tokenize_sql("text")
+    sh = T.word_shingles_sql("ts", 2)
+    return f"""SELECT str_split(pair, ' ')[1] AS i, str_split(pair, ' ')[2] AS j
+        FROM (SELECT unnest({sh}) AS pair
+              FROM (SELECT {toks} AS ts FROM documents))"""
+
+
+def q_pagerank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        G.pagerank_fixed(_word_edges(spark, sf_dir))
+        .orderBy(F.desc("rank_fp"), "node")
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangle_counts(_word_edges(spark, sf_dir)).orderBy("node")
+
+
+def q_co_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    ent = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_intersect(
+                    F.array_distinct(T.tokenize(F.col("text"))),
+                    F.lit(sorted(CO_LIFT_ENTITIES)),
+                )
+            ).alias("entity"),
+        )
+    )
+    return G.co_occurrence_lift(ent).orderBy("ea", "eb")
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    exploded = d.select(
+        F.col("lang"),
+        F.explode(T.word_shingles(T.tokenize(F.col("text")), KMV_SHINGLE_N)).alias("val"),
+    )
+    return kmv_distinct(exploded, "lang", "val").orderBy("lang")
+
+
+def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return S.sq8_topk(e, q, k=ANN_K).orderBy("query_id", "rank")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < BENCH_DOC_MAX_ID)
+    train = d.filter(F.col("doc_id") >= BENCH_DOC_MAX_ID)
+    return contamination_report(train, bench, n=DECONTAM_N).orderBy("doc_id")
+
+
+QUERIES = {
+    "pagerank_tokens": q_pagerank_tokens,
+    "graph_triangles": q_graph_triangles,
+    "co_lift": q_co_lift,
+    "kmv_distinct": q_kmv_distinct,
+    "ann_sq8_topk": q_ann_sq8_topk,
+    "contamination": q_contamination,
+}
+
+
+def _oracles() -> dict[str, str]:
+    edges = _word_edges_sql()
+    toks = T.tokenize_sql("text")
+    ent_lits = ", ".join(f"'{e}'" for e in sorted(CO_LIFT_ENTITIES))
+    co_rel = f"""SELECT doc_id, unnest(list_intersect(list_distinct({toks}), [{ent_lits}])) AS entity
+        FROM documents"""
+    kmv_rel = f"""SELECT lang AS grp,
+            unnest({T.word_shingles_sql('ts', KMV_SHINGLE_N)}) AS val
+        FROM (SELECT lang, {toks} AS ts FROM documents)"""
+    sq8_cte = f"""WITH _sq_c AS (
+          SELECT vec_id AS neighbor_id, {S.sq8_quantize_sql('embedding')} AS cq FROM embeddings
+        ),
+        _sq_cn AS (
+          SELECT neighbor_id, cq,
+                 sqrt(list_reduce(list_transform(list_zip(cq, cq), z -> z[1] * z[2]), (a, x) -> a + x)::DOUBLE) AS cn
+          FROM _sq_c
+        ),
+        _sq_q AS (
+          SELECT neighbor_id AS query_id, cq AS qq, cn AS qn FROM _sq_cn
+          WHERE neighbor_id < {ANN_QUERY_MAX_ID}
+        ),
+        _sq_s AS (
+          SELECT q.query_id, c.neighbor_id,
+                 list_reduce(list_transform(list_zip(q.qq, c.cq), z -> z[1] * z[2]), (a, x) -> a + x) AS score_q,
+                 q.qn, c.cn
+          FROM _sq_cn c JOIN _sq_q q ON c.neighbor_id <> q.query_id
+        ),
+        _sq_r AS (
+          SELECT query_id, neighbor_id, score_q,
+                 round(CASE WHEN qn > 0 AND cn > 0 THEN score_q::DOUBLE / (qn * cn) ELSE 0.0 END, 6) AS cos_sq8,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, neighbor_id) AS rank
+          FROM _sq_s
+        )
+        SELECT query_id, rank, neighbor_id, score_q, cos_sq8 FROM _sq_r
+        WHERE rank <= {ANN_K} ORDER BY query_id, rank"""
+    return {
+        "pagerank_tokens": G.pagerank_fixed_sql(edges)
+        + "\nORDER BY rank_fp DESC, node",
+        "graph_triangles": G.triangle_counts_sql(edges) + "\nORDER BY node",
+        "co_lift": co_occ_order(G.co_occurrence_lift_sql(co_rel)),
+        "kmv_distinct": kmv_distinct_sql(kmv_rel, "lang") + "\nORDER BY lang",
+        "ann_sq8_topk": sq8_cte,
+        "contamination": contamination_report_sql(
+            f"SELECT doc_id, text FROM documents WHERE doc_id >= {BENCH_DOC_MAX_ID}",
+            f"SELECT doc_id, text FROM documents WHERE doc_id < {BENCH_DOC_MAX_ID}",
+            n=DECONTAM_N,
+        )
+        + "\nORDER BY doc_id",
+    }
+
+
+def co_occ_order(sql: str) -> str:
+    return sql + "\nORDER BY ea, eb"
+
+
+ORACLES = _oracles()

@@ -105,6 +105,6 @@ def highlight(text: Column, term: str) -> Column:
 
 def keyword_hit_ratio(text: Column, keywords: list[str]) -> Column:
     """F8-adjacent: fraction of keyword list present as substrings."""
-    arr = F.array(*[F.lit(k) for k in sorted(keywords)])
+    arr = F.lit(sorted(keywords))
     lowered = F.lower(text)
     return F.size(F.filter(arr, lowered.contains)) / F.lit(float(len(keywords)))

@@ -76,8 +76,10 @@ def minhash_signatures(
     slower); K separate ``array_min(transform(hashes, ...))`` columns
     re-evaluate the md5 hash array per column because Catalyst does not
     CSE across higher-order-function lambdas (~20x slower)."""
-    a_arr = F.array(*[F.lit(a) for a in H.MINHASH_AS[:k]])
-    b_arr = F.array(*[F.lit(b) for b in H.MINHASH_BS[:k]])
+    # single array Literal nodes, not CreateArray of k children — the
+    # plan analyzes/codegens measurably faster with wide constant banks
+    a_arr = F.lit(list(H.MINHASH_AS[:k]))
+    b_arr = F.lit(list(H.MINHASH_BS[:k]))
     prime = F.lit(H.MINHASH_PRIME)
 
     def perms(h: Column) -> Column:

@@ -1,0 +1,287 @@
+"""Distributed graph algorithms over the KG edge tables: fixed-point
+PageRank, triangle counting, and co-occurrence lift.
+
+These extend the engine's graph materialization (SURVEY §2 custom: R6
+salting, CC union-find) with the analytics a KG consumer runs next —
+node importance, cohesion, and association strength. The reference has
+no graph analytics (its "graph" is the flat mention table rendered in
+Streamlit); these are beyond-reference capabilities designed for the
+100 TB shape:
+
+* every iteration/stage is an equi join + groupBy on the node key — the
+  same shuffle the edge table is already bucketed by at scale;
+* PageRank arithmetic is FIXED-POINT (integer micro-units), so partial
+  aggregation order cannot perturb results — sums of longs are exact and
+  associative, which is what makes the DuckDB oracle hash-match and a
+  1000-executor run bit-reproducible (float PageRank is neither);
+* triangle counting uses the degree-ordered node-iterator form (each
+  triangle counted once from its lowest-degree corner) — the standard
+  trick that bounds the candidate join on skewed/power-law graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# one micro-unit = 1e-12 of total rank mass; big enough that 8 rounds of
+# integer floor-division keep ~9 significant digits, small enough that
+# rank * edge-weight stays far under int64 for weights up to ~1e6
+PR_SCALE = 1_000_000_000_000
+PR_ITERS = 8
+PR_DAMP_NUM = 85  # damping 0.85 as an integer ratio
+PR_DAMP_DEN = 100
+
+
+def _sym_weighted(edges: DataFrame) -> DataFrame:
+    """Undirected weighted view: multi-edges collapse to a count weight,
+    each {i, j} edge emitted in both directions, self-loops dropped."""
+    e = edges.select(F.col("i").alias("src"), F.col("j").alias("dst")).filter(
+        F.col("src") != F.col("dst")
+    )
+    both = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return both.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+
+
+def pagerank_fixed(
+    edges: DataFrame, iters: int = PR_ITERS, scale: int = PR_SCALE
+) -> DataFrame:
+    """Weighted PageRank over the undirected multigraph in integer
+    fixed-point.
+
+    Multi-edges become integer weights w (e.g. co-occurrence counts); a
+    node spreads its rank proportionally: contrib over edge (u→v) =
+    floor(rank_u * w_uv / W_u) with W_u = Σ w_u·, and
+    rank' = floor(0.15 * scale / n) + floor(0.85 * Σ contrib) — every
+    operation is exact int64 math, so the result is independent of
+    partitioning, aggregation order, and engine (the DuckDB oracle
+    unrolls the same iterations as chained CTEs and hash-matches
+    bit-for-bit; float PageRank can satisfy neither property). The
+    floor-truncation leaks < degree micro-units per node per round —
+    at scale=1e12 a relative error ~1e-9, the documented price of
+    bit-reproducibility. rank_u * w_uv needs rank (≤ scale=1e12) times
+    weight to fit int64 — safe through w ~ 1e6.
+
+    Each iteration is one join + groupBy("dst") sum over the
+    src-partitioned edge list — the plan a 1000-executor run wants:
+    edges stay bucketed by src, ranks shuffle on the node key only. The
+    loop runs on the driver but every round is a single distributed
+    agg; lineage is cut per round via localCheckpoint (same discipline
+    as operators/canonicalize.py).
+    """
+    e = _sym_weighted(edges)
+    deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("degree"), F.sum("w").alias("wout")
+    )
+    nodes = deg.select(F.col("src").alias("node"), "degree", "wout")
+    n = nodes.count()
+    base = int(scale * (PR_DAMP_DEN - PR_DAMP_NUM) // (PR_DAMP_DEN * n))
+    ranks = nodes.select("node", F.lit(int(scale // n)).alias("rank_fp"))
+    for _ in range(iters):
+        # `div` (SQL integral division), NOT `/`: Spark's `/` on longs is
+        # DOUBLE division, whose correctly-rounded quotient can land on
+        # an integer the true quotient sits just below — cast("long")
+        # would then disagree with the oracle's exact `//`
+        contrib = (
+            ranks.join(nodes, "node")
+            .join(e, F.col("node") == e["src"])
+            .withColumn("c", F.expr("(rank_fp * w) div wout"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"(coalesce(s, 0L) * {PR_DAMP_NUM}) div {PR_DAMP_DEN}")
+                ).alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        ranks.join(nodes, "node")
+        .select("node", "degree", F.col("wout").alias("weight_out"), "rank_fp")
+    )
+
+
+def pagerank_fixed_sql(edges_rel: str, iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
+    """DuckDB twin of :func:`pagerank_fixed`: the iteration unrolled as
+    chained CTEs (aggregation inside a recursive CTE is not portable);
+    bit-identical because every step is integer arithmetic."""
+    base_expr = f"({scale} * {PR_DAMP_DEN - PR_DAMP_NUM} // ({PR_DAMP_DEN} * (SELECT count(*) FROM _ga_nodes)))"
+    init = f"({scale} // (SELECT count(*) FROM _ga_nodes))"
+    ctes = [
+        f"""_ga_raw AS ({edges_rel}),
+        _ga_e AS (
+          SELECT src, dst, count(*) AS w FROM (
+            SELECT i AS src, j AS dst FROM _ga_raw WHERE i <> j
+            UNION ALL
+            SELECT j AS src, i AS dst FROM _ga_raw WHERE i <> j
+          ) GROUP BY src, dst
+        ),
+        _ga_nodes AS (
+          SELECT src AS node, count(*) AS degree, CAST(sum(w) AS BIGINT) AS wout
+          FROM _ga_e GROUP BY src
+        ),
+        _ga_r0 AS (SELECT node, CAST({init} AS BIGINT) AS rank_fp FROM _ga_nodes)"""
+    ]
+    for it in range(1, iters + 1):
+        prev, cur = f"_ga_r{it - 1}", f"_ga_r{it}"
+        ctes.append(
+            f"""{cur} AS (
+          SELECT n.node,
+                 CAST({base_expr} + (coalesce(c.s, 0) * {PR_DAMP_NUM} // {PR_DAMP_DEN}) AS BIGINT) AS rank_fp
+          FROM _ga_nodes n
+          LEFT JOIN (
+            SELECT e.dst, sum((r.rank_fp * e.w) // nn.wout) AS s
+            FROM {prev} r
+            JOIN _ga_nodes nn ON r.node = nn.node
+            JOIN _ga_e e ON r.node = e.src
+            GROUP BY e.dst
+          ) c ON n.node = c.dst
+        )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT * FROM (
+          SELECT r.node AS node, n.degree, n.wout AS weight_out, r.rank_fp
+          FROM _ga_r{iters} r JOIN _ga_nodes n ON r.node = n.node
+        )"""
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected {i, j} edge set.
+
+    Node-iterator with total ordering: orient every edge low→high by
+    (degree, node) so each wedge is enumerated exactly once at its
+    lowest-degree corner, then close it with an inner join back to the
+    oriented edge list. On power-law graphs this bounds wedge fan-out
+    by the SMALLER endpoint's degree — the standard mitigation for hub
+    nodes; all joins are equi joins on node keys. Exact integer counts
+    — the DuckDB mirror hash-matches.
+    """
+    e = _sym_weighted(edges).select("src", "dst")  # distinct directed pairs
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = e.join(deg.withColumnRenamed("src", "node"), e["src"] == F.col("node")).select(
+        "src", "dst", F.col("deg").alias("sdeg")
+    )
+    ranked = ranked.join(
+        deg.select(F.col("src").alias("node"), F.col("deg").alias("ddeg")),
+        ranked["dst"] == F.col("node"),
+    ).select("src", "dst", "sdeg", "ddeg")
+    # keep each undirected edge once, oriented from the (deg, id)-smaller end
+    oriented = ranked.filter(
+        (F.col("sdeg") < F.col("ddeg"))
+        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst")
+    w1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    w2 = oriented.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
+    wedges = w1.join(w2, (F.col("a") == F.col("a2")) & (F.col("b") < F.col("c"))).select(
+        "a", "b", "c"
+    )
+    closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closer, ["b", "c"])
+    per_corner = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_corner
+
+
+def triangle_counts_sql(edges_rel: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` (same orientation rule)."""
+    return f"""WITH _tc_raw AS ({edges_rel}),
+        _tc_e AS (
+          SELECT src, dst FROM (
+            SELECT i AS src, j AS dst FROM _tc_raw WHERE i <> j
+            UNION
+            SELECT j AS src, i AS dst FROM _tc_raw WHERE i <> j
+          )
+        ),
+        _tc_deg AS (SELECT src AS node, count(*) AS deg FROM _tc_e GROUP BY src),
+        _tc_or AS (
+          SELECT e.src, e.dst
+          FROM _tc_e e
+          JOIN _tc_deg ds ON e.src = ds.node
+          JOIN _tc_deg dd ON e.dst = dd.node
+          WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND e.src < e.dst)
+        ),
+        _tc_tri AS (
+          SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+          FROM _tc_or w1
+          JOIN _tc_or w2 ON w1.src = w2.src AND w1.dst < w2.dst
+          JOIN _tc_or cl ON cl.src = w1.dst AND cl.dst = w2.dst
+        )
+        SELECT node, count(*) AS n_triangles
+        FROM (SELECT a AS node FROM _tc_tri UNION ALL SELECT b FROM _tc_tri UNION ALL SELECT c FROM _tc_tri)
+        GROUP BY node"""
+
+
+def co_occurrence_lift(
+    doc_entity: DataFrame, min_pair_docs: int = 1
+) -> DataFrame:
+    """Association strength between entity pairs from a distinct
+    (doc_id, entity) mention table: lift = n_docs * c_ab / (c_a * c_b).
+
+    lift > 1 ⇔ the pair co-occurs more than independence predicts — the
+    KG edge-weighting signal (PMI's argument without the log: IEEE
+    division of exact integer counts is correctly rounded, so the value
+    is bit-stable across engines and partitionings, where log is
+    libm-dependent and is not).
+
+    Plan shape: one self-join of the per-doc entity list on doc_id
+    (i < j to emit each pair once), one groupBy on the pair — both
+    shuffles keyed the way a bucketed mention table already is. Entity
+    marginals are a tiny aggregate broadcast onto the pair counts.
+    """
+    de = doc_entity.select("doc_id", "entity").dropDuplicates(["doc_id", "entity"])
+    n_docs = de.select("doc_id").distinct().count()
+    marg = de.groupBy("entity").agg(F.count(F.lit(1)).alias("c"))
+    a = de.select("doc_id", F.col("entity").alias("ea"))
+    b = de.select("doc_id", F.col("entity").alias("eb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("ea") < F.col("eb"))
+        .groupBy("ea", "eb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_pair_docs)
+    )
+    out = (
+        pairs.join(F.broadcast(marg.select(F.col("entity").alias("ea"), F.col("c").alias("c_a"))), "ea")
+        .join(F.broadcast(marg.select(F.col("entity").alias("eb"), F.col("c").alias("c_b"))), "eb")
+        .select(
+            "ea",
+            "eb",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                (F.lit(n_docs).cast("double") * F.col("c_ab"))
+                / (F.col("c_a").cast("double") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out
+
+
+def co_occurrence_lift_sql(doc_entity_rel: str, min_pair_docs: int = 1) -> str:
+    return f"""WITH _cl_de AS (SELECT DISTINCT doc_id, entity FROM ({doc_entity_rel})),
+        _cl_n AS (SELECT count(DISTINCT doc_id) AS n FROM _cl_de),
+        _cl_m AS (SELECT entity, count(*) AS c FROM _cl_de GROUP BY entity),
+        _cl_p AS (
+          SELECT a.entity AS ea, b.entity AS eb, count(*) AS c_ab
+          FROM _cl_de a JOIN _cl_de b ON a.doc_id = b.doc_id AND a.entity < b.entity
+          GROUP BY 1, 2
+          HAVING count(*) >= {min_pair_docs}
+        )
+        SELECT p.ea, p.eb, p.c_ab, ma.c AS c_a, mb.c AS c_b,
+               round((SELECT n FROM _cl_n)::DOUBLE * p.c_ab / (ma.c::DOUBLE * mb.c::DOUBLE), 6) AS lift
+        FROM _cl_p p
+        JOIN _cl_m ma ON p.ea = ma.entity
+        JOIN _cl_m mb ON p.eb = mb.entity"""

@@ -54,7 +54,7 @@ _NER_CATEGORY_RE = r"(?i)\b(software|tool|pipeline|package|model|algorithm|code)
 def keyword_hits(text: Column, keywords: list[str] | None = None) -> Column:
     """Sorted keyword substring hits (F8). Array stays in codegen."""
     kws = sorted(keywords or HEURISTIC_KEYWORDS)
-    arr = F.array(*[F.lit(k) for k in kws])
+    arr = F.lit(kws)
     lowered = F.lower(text)
     return F.filter(arr, lambda kw: lowered.contains(kw))
 
@@ -89,11 +89,27 @@ def _ngram_matrix(texts: np.ndarray, dim: int = NGRAM_DIM) -> np.ndarray:
     return out
 
 
+def _factorized_matrix(s: pd.Series) -> np.ndarray:
+    """Hash each DISTINCT string once, then gather rows back.
+
+    In score_candidates the description side repeats per gazetteer term
+    (dozens of uniques across thousands of rows) and contexts repeat
+    across a term's mentions, so factorizing skips most of the hashing
+    work. The gathered rows are the same vectors `_ngram_matrix` would
+    produce per row — float arithmetic downstream is bit-identical.
+    Sentinel code -1 (null/non-str) gathers the appended zero row, the
+    same zero vector the per-row path emits."""
+    codes, uniques = pd.factorize(s, use_na_sentinel=True)
+    m = _ngram_matrix(uniques.to_numpy())
+    m = np.vstack([m, np.zeros((1, m.shape[1] if m.size else NGRAM_DIM))])
+    return m[codes]
+
+
 @pandas_udf(DoubleType())
 def charngram_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     """Cosine similarity of hashed char-ngram vectors (Arrow-batched)."""
-    va = _ngram_matrix(a.to_numpy())
-    vb = _ngram_matrix(b.to_numpy())
+    va = _factorized_matrix(a)
+    vb = _factorized_matrix(b)
     dots = np.einsum("ij,ij->i", va, vb)
     norms = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):

@@ -127,7 +127,7 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = N_PLANES, offset: int = 0)
     planes = hyperplanes(n_planes, dim, offset)
     out = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
+        lit_plane = F.lit([float(v) for v in plane])
         bit = F.when(_dot(vec, lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         out = out + bit.cast("long")
     return out
@@ -209,7 +209,7 @@ def lsh_topk(
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
         norm_expr(F.col(vec_col)).alias("cn"),
     )
-    masks = F.array(*[F.lit(m).cast("long") for m in probe_masks(n_planes, probe_hamming)])
+    masks = F.lit([int(m) for m in probe_masks(n_planes, probe_hamming)]).cast("array<long>")
     bq = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -269,11 +269,11 @@ def centroid_scores(
     """
     if centroids is None:
         cents = hyperplanes(n_centroids, dim)
-        return F.array(*[_dot(vec, F.array(*[F.lit(v) for v in c])) for c in cents])
+        return F.array(*[_dot(vec, F.lit([float(v) for v in c])) for c in cents])
     scores = []
     for c in centroids:
         half_sq = sum(v * v for v in c) / 2.0
-        scores.append(_dot(vec, F.array(*[F.lit(v) for v in c])) - F.lit(half_sq))
+        scores.append(_dot(vec, F.lit([float(v) for v in c])) - F.lit(half_sq))
     return F.array(*scores)
 
 
@@ -479,6 +479,96 @@ def embedding_near_dups(
     return (
         cand.select("i", "j", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
+    )
+
+
+SQ8_MAX = 127
+
+
+def sq8_quantize(vec: Column) -> Column:
+    """Scalar int8 quantization: q_i = floor(v_i * 127 / max|v| + 0.5).
+
+    Deterministic by construction — both factors of the affine map are
+    correctly-rounded IEEE ops in a fixed order ((v*127)/m, then
+    floor(x+0.5)), so Spark and DuckDB produce identical codes; an
+    all-zero vector quantizes to all zeros.
+    """
+    m = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    return F.transform(
+        vec,
+        lambda x: F.when(m > 0, F.floor(x.cast("double") * F.lit(float(SQ8_MAX)) / m + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+
+
+def sq8_quantize_sql(vec: str) -> str:
+    m = f"list_max(list_transform({vec}, x -> abs(x::DOUBLE)))"
+    return (
+        f"list_transform({vec}, x -> CAST(CASE WHEN {m} > 0 "
+        f"THEN floor(x::DOUBLE * {float(SQ8_MAX)!r} / {m} + 0.5) ELSE 0 END AS BIGINT))"
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    prod = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prod, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, score_q, cos_sq8) — top-k by INTEGER
+    dot product of int8-quantized vectors.
+
+    The 100 TB memory play: int8 codes are 4× smaller than float32 (the
+    quantized corpus is what you materialize to Iceberg; re-ranking the
+    shortlist against full-precision vectors is a bounded second read).
+    Because the score accumulator is an exact int64 sum, ranking is
+    independent of partitioning and engine — unlike float dot products,
+    a reshuffled cluster returns the identical top-k, and the DuckDB
+    oracle hash-matches. ``cos_sq8`` is the quantized-cosine estimate
+    (int dot over the exact int-code norms, fixed op order). Plan shape
+    matches brute_force_topk: broadcast query side, zero corpus shuffle,
+    per-query window top-k.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            sq8_quantize(F.col(vec_col)).alias("qq"),
+        ).withColumn("qn", F.sqrt(_int_dot(F.col("qq"), F.col("qq")).cast("double")))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        sq8_quantize(F.col(vec_col)).alias("cq"),
+    ).withColumn("cn", F.sqrt(_int_dot(F.col("cq"), F.col("cq")).cast("double")))
+    scored = (
+        c.join(q, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score_q", _int_dot(F.col("qq"), F.col("cq")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score_q",
+            F.round(
+                F.when(
+                    (F.col("qn") > 0) & (F.col("cn") > 0),
+                    F.col("score_q").cast("double") / (F.col("qn") * F.col("cn")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cos_sq8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score_q", "cos_sq8")
     )
 
 

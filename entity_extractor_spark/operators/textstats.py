@@ -29,7 +29,7 @@ LANG_PRIORITY = ["en", "de", "es", "fr"]  # tie-break order
 
 
 def _hits(tokens: Column, words: list[str]) -> Column:
-    return F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words])))
+    return F.size(F.array_intersect(tokens, F.lit(sorted(words))))
 
 
 def language_scores(text: Column) -> dict[str, Column]:

@@ -1,0 +1,181 @@
+"""Unit tests for graph algorithms, sketches, quantized ANN, and
+decontamination — known-answer fixtures plus invariant checks that the
+contract queries (hash-equality vs DuckDB) cannot express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_extractor_spark.operators import graph_algos as G
+from entity_extractor_spark.operators import simsearch as S
+from entity_extractor_spark.operators.decontam import contamination_report
+from entity_extractor_spark.operators.sketches import KMV_K, kmv_distinct
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "i string, j string")
+
+
+# --------------------------------------------------------------------------- pagerank
+
+
+def test_pagerank_star_center_dominates(spark):
+    # star graph: hub h connected to 4 leaves — hub must outrank leaves
+    e = _edges(spark, [("h", "a"), ("h", "b"), ("h", "c"), ("h", "d")])
+    rows = {r["node"]: r for r in G.pagerank_fixed(e, iters=6).collect()}
+    assert rows["h"]["degree"] == 4
+    for leaf in "abcd":
+        assert rows["h"]["rank_fp"] > rows[leaf]["rank_fp"]
+        # leaves are symmetric — exact fixed-point equality, no tolerance
+        assert rows[leaf]["rank_fp"] == rows["a"]["rank_fp"]
+
+
+def test_pagerank_mass_conserved_up_to_truncation(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])
+    total = (
+        G.pagerank_fixed(e, iters=8)
+        .agg(F.sum("rank_fp").alias("s"))
+        .collect()[0]["s"]
+    )
+    # floor-truncation only ever loses mass, bounded by (degree+2) ulps
+    # per node per round — total stays within 1e-6 of full mass
+    assert G.PR_SCALE * (1 - 1e-6) < total <= G.PR_SCALE
+
+
+def test_pagerank_weighted_pull(spark):
+    # b receives a double-weight edge from a; c a single — b outranks c
+    e = _edges(spark, [("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"), ("c", "b")])
+    rows = {r["node"]: r for r in G.pagerank_fixed(e, iters=8).collect()}
+    assert rows["b"]["weight_out"] > rows["c"]["weight_out"]
+    assert rows["b"]["rank_fp"] > rows["c"]["rank_fp"]
+
+
+# --------------------------------------------------------------------------- triangles
+
+
+def test_triangle_counts_known_graph(spark):
+    # K4 on {a,b,c,d}: C(4,3) = 4 triangles, every node in exactly 3
+    k4 = [(x, y) for x in "abcd" for y in "abcd" if x < y]
+    rows = {r["node"]: r["n_triangles"] for r in G.triangle_counts(_edges(spark, k4)).collect()}
+    assert rows == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_counts_no_triangle(spark):
+    # path a-b-c-d has no triangles -> empty result
+    path = [("a", "b"), ("b", "c"), ("c", "d")]
+    assert G.triangle_counts(_edges(spark, path)).count() == 0
+
+
+def test_triangle_duplicate_and_reversed_edges_collapse(spark):
+    tri = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c")]
+    rows = {r["node"]: r["n_triangles"] for r in G.triangle_counts(_edges(spark, tri)).collect()}
+    assert rows == {"a": 1, "b": 1, "c": 1}
+
+
+# --------------------------------------------------------------------------- co-occurrence lift
+
+
+def test_co_lift_independence_and_association(spark):
+    # docs 1..4: x everywhere; y only with z in docs 1,2 — (y,z) lift 2.0
+    rows = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"), (2, "z"),
+        (3, "x"), (4, "x"),
+    ]
+    de = spark.createDataFrame(rows, "doc_id long, entity string")
+    out = {(r["ea"], r["eb"]): r for r in G.co_occurrence_lift(de).collect()}
+    yz = out[("y", "z")]
+    assert yz["c_ab"] == 2 and yz["c_a"] == 2 and yz["c_b"] == 2
+    assert yz["lift"] == pytest.approx(4 * 2 / (2 * 2))  # = 2.0
+    assert out[("x", "y")]["lift"] == pytest.approx(4 * 2 / (4 * 2))  # = 1.0
+
+
+# --------------------------------------------------------------------------- KMV sketch
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(10)], "grp string, val string"
+    )
+    row = kmv_distinct(df, "grp", "val").collect()[0]
+    assert row["n_exact"] == 10
+    # d <= k -> sketch is lossless
+    assert row["kmv_estimate"] == 10.0
+
+
+def test_kmv_estimate_above_k_within_error(spark):
+    n = 2000
+    df = spark.createDataFrame(
+        [("g", f"value-{i}") for i in range(n)], "grp string, val string"
+    )
+    row = kmv_distinct(df, "grp", "val").collect()[0]
+    assert row["n_exact"] == n
+    # KMV stderr ~ 1/sqrt(k-2) ~ 18% at k=32; allow 3 sigma
+    assert abs(row["kmv_estimate"] - n) / n < 0.55
+
+
+def test_kmv_insensitive_to_duplicates_and_partitioning(spark):
+    base = [("g", f"value-{i}") for i in range(500)]
+    df1 = spark.createDataFrame(base * 3, "grp string, val string")
+    df2 = spark.createDataFrame(base, "grp string, val string").repartition(7)
+    r1 = kmv_distinct(df1, "grp", "val").collect()[0]
+    r2 = kmv_distinct(df2, "grp", "val").collect()[0]
+    assert r1["kmv_estimate"] == r2["kmv_estimate"]
+    assert r1["n_exact"] == r2["n_exact"] == 500
+    assert KMV_K < 500  # the estimator path, not the exact path
+
+
+# --------------------------------------------------------------------------- sq8 ANN
+
+
+def test_sq8_quantize_codes(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: r["q"]
+        for r in df.select("vec_id", S.sq8_quantize(F.col("embedding")).alias("q")).collect()
+    }
+    # max|v| = 1.0 -> codes are floor(v*127 + 0.5)
+    assert rows[1] == [127, -63, 32, 0]
+    assert rows[2] == [0, 0, 0, 0]  # zero vector stays zero, no div-by-zero
+
+
+def test_sq8_topk_agrees_with_exact_on_separated_vectors(spark):
+    # clusters far apart: quantized ranking must match exact cosine ranking
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.95, 0.05, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = S.sq8_topk(df, q, k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in got] == [1, 2]
+    assert got[0]["score_q"] > got[1]["score_q"]
+
+
+# --------------------------------------------------------------------------- decontamination
+
+
+def test_contamination_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox jumps away"),  # shares 4-gram
+            (2, "completely unrelated sentence about spark joins"),
+            (3, "the quick brown fox jumps over the lazy dog indeed"),  # near copy
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in contamination_report(train, bench, n=4).collect()}
+    assert rows[1]["contaminated"] and rows[1]["n_shared_shingles"] == 2
+    assert not rows[2]["contaminated"] and rows[2]["n_shared_shingles"] == 0
+    assert rows[3]["contaminated"] and rows[3]["n_shared_shingles"] >= 5
