@@ -57,6 +57,13 @@ HEADLINE = [
     # round-2 operators
     "scored_candidates",
     "salted_collect",
+    # round-3 operators: graph analytics, sketches, quantized ANN, hygiene
+    "pagerank_tokens",
+    "graph_triangles",
+    "co_lift",
+    "kmv_distinct",
+    "ann_sq8_topk",
+    "contamination",
 ]
 
 

@@ -159,3 +159,28 @@ def test_ivf_topk_no_cartesian_and_recall(spark):
     r4 = len(got4 & exact) / len(exact)
     assert r4 >= r1  # recall monotone in n_probe
     assert r4 > 0  # probing 1/4 of the cells finds real neighbors
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The eval-suite shingle set must broadcast; the training corpus is
+    never shuffled for the shingle join (only the per-doc hit agg)."""
+    from entity_extractor_spark.operators.decontam import contamination_report
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = P.formatted_plan(
+        contamination_report(d.filter(F.col("doc_id") >= 5), d.filter(F.col("doc_id") < 5))
+    )
+    assert P.has_broadcast_hash_join(plan), plan
+    assert not P.has_sort_merge_join(plan), plan
+
+
+def test_triangle_counts_no_cartesian(spark):
+    """Wedge enumeration and closure are equi joins on node keys — a
+    cartesian/BNLJ here would explode on any real graph."""
+    from entity_extractor_spark.operators.graph_algos import triangle_counts
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "i string, j string"
+    )
+    plan = P.formatted_plan(triangle_counts(e))
+    assert "CartesianProduct" not in plan, plan

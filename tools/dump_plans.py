@@ -46,6 +46,17 @@ is the Iceberg partition key at corpus scale, so each probe is a pruned scan."""
 scale-killer). Wanted shape: the running-sum Window exchanges on the
 content-hash shard expression — NOT SinglePartition; 32 independent packing
 streams sort in parallel. Enforced by test_curation.py.""",
+    "contamination": """Benchmark decontamination (round 3). Wanted shape: the
+benchmark shingle set is the BROADCAST side of the join (an eval suite is
+small by construction), so the 100 TB training side is one map pass — its
+only exchange is the per-doc hit-count aggregate on the doc key. Enforced by
+test_plans.py (BroadcastHashJoin present, no SortMergeJoin on the shingle
+join).""",
+    "pagerank_iter": """One weighted-PageRank iteration (round 3). Wanted shape:
+rank×edge equi join on the node key then HashAggregate partial -> Exchange ->
+final on dst — the edge table partitioning is reused every round; integer
+fixed-point arithmetic keeps the result independent of this plan's parallelism
+entirely.""",
 }
 
 
@@ -100,6 +111,26 @@ def main() -> None:
     plans["co_mentions"] = co_mention_triples(m)
     plans["ivf_topk"] = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), dim=64)
     plans["pack_sequences"] = pack_sequences(docs, 512)
+
+    from entity_extractor_spark.operators.decontam import contamination_report
+    from entity_extractor_spark.operators.graph_algos import _sym_weighted
+
+    plans["contamination"] = contamination_report(
+        docs.filter(F.col("doc_id") >= 5), docs.filter(F.col("doc_id") < 5)
+    )
+    # one iteration body, isolated (the full loop repeats this shape)
+    e = _sym_weighted(
+        spark.createDataFrame([("a", "b"), ("b", "c"), ("a", "c")], "i string, j string")
+    )
+    ranks = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"), F.sum("w").alias("wout")).select(
+        F.col("src").alias("node"), "degree", "wout", F.lit(1000000).alias("rank_fp")
+    )
+    plans["pagerank_iter"] = (
+        ranks.join(e, ranks["node"] == e["src"])
+        .withColumn("c", F.expr("(rank_fp * w) div wout"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+    )
 
     out = [
         "# PLANS — physical plans of the flagship stages",
