@@ -14,19 +14,30 @@ Scale design (SURVEY R4/R5/R7, J9): the naive reference plan is a
 nested-loop theta join (docs x terms regex scans). Here each text is
 scanned once: a C-speed tokenizer builds the token set, hash intersection
 against the single-word surface dictionary selects candidate terms, and
-phrase surfaces are prefiltered by substring containment — per-pattern
-C-speed ``in`` checks below ``AC_MIN_PHRASES``, a single Aho-Corasick
-pass (`matching/aho.py`) above it, so per-text cost is
-O(len(text) + hits) INDEPENDENT of gazetteer size on both paths
-(measured: 4,000 two-word phrases run 6.4x faster through the automaton
-than through the linear loop). Only surfaces that pass the prefilter run
-their (cached, compiled) occurrence regex on the original text to
-recover exact spans. All prefilters are exact (no recall loss): a
-``\\b``-delimited match of a pure-word surface is necessarily a maximal
-``\\w+`` token, and an IGNORECASE match of any surface implies
-lowered-substring containment (ASCII; documented limit). The hypothesis
-property suite pins both prefilter paths to the naive per-term regex
-oracle.
+phrase surfaces are prefiltered before any regex runs. In
+``word_boundary`` mode the phrase prefilter is FIRST-WORD indexed: a
+``\\b``-delimited occurrence of a phrase necessarily realizes the
+phrase's leading ``\\w+`` run as a maximal token of the text (the run is
+preceded by a word boundary and ends at the phrase's first non-word
+char), so candidate phrases come from the SAME token-set intersection as
+single words — O(distinct tokens) dict hits, no per-char scan — each
+confirmed by a C-speed substring check. (Round 3: this replaced the
+per-char Python Aho-Corasick walk. Measured on the synth corpus at
+4,000 terms the two tie — the synth vocabulary has only 12 name heads,
+so 3,890 phrases collapse onto 110 first words, the worst case for this
+index — while on realistic gazetteers whose phrase first-words are
+distinctive the token-set path does no per-char work at all. The
+automaton is kept for ``exact`` mode, where a leading token can be
+extended by adjacent ``[\\w\\-]`` chars and the first-word argument does
+not hold.) Exact-mode phrases use per-pattern ``in`` checks below
+``AC_MIN_PHRASES`` and one Aho-Corasick pass (`matching/aho.py`) above
+it. Per-text cost is O(len(text) + hits) INDEPENDENT of gazetteer size
+on every path. Only surfaces that pass the prefilter run their (cached,
+compiled) occurrence regex on the original text to recover exact spans.
+All prefilters are exact (no recall loss): an IGNORECASE match of any
+surface implies lowered-substring containment (ASCII; documented limit).
+The hypothesis property suite pins both prefilter paths to the naive
+per-term regex oracle.
 
 The matcher is a plain picklable object: built once on the driver from
 the gazetteer DataFrame and shipped to executors via
@@ -78,6 +89,11 @@ class GazetteerMatcher:
     # keys, built when the phrase dictionary is large (AC_MIN_PHRASES)
     _phrase_terms: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
     _phrase_ac: AhoCorasick | None = None
+    # word_boundary only: leading \w+ run of each phrase key -> [keys]
+    # (the token-set prefilter); keys with no leading word char fall back
+    # to unconditional substring checks
+    _phrase_first_word: dict[str, list[str]] = field(default_factory=dict)
+    _phrase_no_word: list[str] = field(default_factory=list)
     # compiled-regex cache; rebuilt lazily per process, excluded from pickle
     _regex_cache: dict[tuple[str, str], re.Pattern] = field(default_factory=dict)
 
@@ -96,7 +112,14 @@ class GazetteerMatcher:
                     m._word_index.setdefault(key, []).append((term_id, surface))
                 else:
                     m._phrase_terms.setdefault(key, []).append((term_id, surface))
-        if len(m._phrase_terms) >= AC_MIN_PHRASES:
+        if mode == "word_boundary":
+            for key in m._phrase_terms:
+                mo = _WORD_RE.match(key)
+                if mo:
+                    m._phrase_first_word.setdefault(mo.group(0), []).append(key)
+                else:
+                    m._phrase_no_word.append(key)
+        elif len(m._phrase_terms) >= AC_MIN_PHRASES:
             m._phrase_ac = AhoCorasick(list(m._phrase_terms))
         return m
 
@@ -106,6 +129,8 @@ class GazetteerMatcher:
             "_word_index": self._word_index,
             "_phrase_terms": self._phrase_terms,
             "_phrase_ac": self._phrase_ac,
+            "_phrase_first_word": self._phrase_first_word,
+            "_phrase_no_word": self._phrase_no_word,
         }
 
     def __setstate__(self, state):
@@ -113,6 +138,8 @@ class GazetteerMatcher:
         self._word_index = state["_word_index"]
         self._phrase_terms = state["_phrase_terms"]
         self._phrase_ac = state["_phrase_ac"]
+        self._phrase_first_word = state["_phrase_first_word"]
+        self._phrase_no_word = state["_phrase_no_word"]
         self._regex_cache = {}
 
     def _pattern(self, term_id: str, surface: str) -> re.Pattern:
@@ -134,17 +161,17 @@ class GazetteerMatcher:
         if self.mode == "word_boundary":
             lowered = text.lower()
             candidates: list[tuple[str, str]] = []
-            if self._word_index:
+            if self._word_index or self._phrase_first_word:
                 tokens = set(_WORD_RE.findall(lowered))
                 for tok in tokens.intersection(self._word_index.keys()):
                     candidates.extend(self._word_index[tok])
-            if self._phrase_ac is not None:
-                for key in self._phrase_ac.find_keys(lowered):
+                for tok in tokens.intersection(self._phrase_first_word.keys()):
+                    for key in self._phrase_first_word[tok]:
+                        if key in lowered:
+                            candidates.extend(self._phrase_terms[key])
+            for key in self._phrase_no_word:
+                if key in lowered:
                     candidates.extend(self._phrase_terms[key])
-            else:
-                for key, terms_for_key in self._phrase_terms.items():
-                    if key in lowered:
-                        candidates.extend(terms_for_key)
             for term_id, surface in candidates:
                 for mo in self._pattern(term_id, surface).finditer(text):
                     spans.append(Span(term_id, surface, mo.group(0), mo.start(), mo.end()))

@@ -96,17 +96,34 @@ def test_exact_mode_matches_naive_regex(tc):
 
 # filler phrases from characters outside the text alphabet: they push the
 # phrase count past AC_MIN_PHRASES (so the Aho-Corasick prefilter path
-# runs) without ever matching a generated text
+# runs in exact mode, and the first-word index carries many keys in
+# word_boundary mode) without ever matching a generated text
 _AC_FILLER = [(f"zfill{i}", [f"zq{i} zr{i}"]) for i in range(70)]
 
 
 @settings(max_examples=300, deadline=None)
 @given(case())
-def test_word_boundary_ac_path_matches_naive_regex(tc):
+def test_word_boundary_large_phrase_dict_matches_naive_regex(tc):
     terms, text = tc
     terms = terms + _AC_FILLER
     m = GazetteerMatcher.build(terms, mode="word_boundary")
-    assert m._phrase_ac is not None  # the AC prefilter really is active
+    # word_boundary phrases route through the first-word token index (the
+    # round-3 replacement for the Aho-Corasick walk), never the automaton
+    assert m._phrase_ac is None
+    assert len(m._phrase_first_word) >= 70
+    got = {(s.term_id, s.surface, s.text, s.start, s.end) for s in m.find(text)}
+    assert got == _naive_spans(terms, text, "word_boundary"), (terms, text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(case())
+def test_word_boundary_no_leading_word_phrases(tc):
+    # phrases whose key starts with a NON-word char take the
+    # _phrase_no_word unconditional-substring fallback path
+    terms, text = tc
+    terms = terms + [("tnw1", ["- ab"]), ("tnw2", [": c d"])]
+    m = GazetteerMatcher.build(terms, mode="word_boundary")
+    assert len(m._phrase_no_word) >= 2
     got = {(s.term_id, s.surface, s.text, s.start, s.end) for s in m.find(text)}
     assert got == _naive_spans(terms, text, "word_boundary"), (terms, text)
 
