@@ -391,11 +391,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tests/test_entry_oracle.py, dtype-sensitive); their cumulative driver
 # history is tabulated in README.md §Correctness-window rotation.
 PRIORITY_KEYS = [
-    # core SURVEY §2 set (round-1 gap: no driver row)
+    # core SURVEY §2 set (round-1 gap: no driver row); value_counts /
+    # bool_sum / union_distinct went green in r02 and rotate out for the
+    # three late-round-3 additions (dup_clusters, repetition_signals,
+    # heavy_hitters), which have no driver history yet
     "mention_counts", "mention_flags", "context_window", "exact_token_match",
-    "keyword_hits", "composite_likelihood", "two_level_agg", "value_counts",
-    "topk_groups", "bool_sum", "join_agg", "broadcast_join", "semi_join",
-    "anti_join", "window_lag", "window_topk", "union_distinct", "except_keys",
+    "keyword_hits", "composite_likelihood", "two_level_agg",
+    "topk_groups", "join_agg", "broadcast_join", "semi_join",
+    "anti_join", "window_lag", "window_topk", "except_keys",
     "dedup_keys", "percent_of_total", "stats",
     # flagship KG keys that fell outside the round-1 window
     "cc_components", "graph_edges", "likelihood_filter", "predicate_triples",
@@ -413,9 +416,11 @@ PRIORITY_KEYS = [
     # plus the two retrieval-quality metrics
     "ner_training_export", "stratified_sample", "sequence_packing_sorted",
     "ann_recall_lsh", "ann_recall_ivf",
-    # round-3 additions: graph analytics, sketches, quantized ANN, hygiene
+    # round-3 additions: graph analytics, sketches, quantized ANN, hygiene,
+    # near-dup cluster resolution, repetition quality signals
     "pagerank_tokens", "graph_triangles", "co_lift", "kmv_distinct",
     "ann_sq8_topk", "contamination",
+    "dup_clusters", "repetition_signals", "heavy_hitters",
     # kernel / grouped / temporal flagships
     "conv_digest", "asof_join", "interval_join",
 ]

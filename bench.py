@@ -64,6 +64,9 @@ HEADLINE = [
     "kmv_distinct",
     "ann_sq8_topk",
     "contamination",
+    "heavy_hitters",
+    "repetition_signals",
+    "dup_clusters",
 ]
 
 

@@ -22,7 +22,12 @@ from entity_extractor_spark.operators.decontam import (
     contamination_report,
     contamination_report_sql,
 )
-from entity_extractor_spark.operators.sketches import kmv_distinct, kmv_distinct_sql
+from entity_extractor_spark.operators.sketches import (
+    heavy_hitters,
+    heavy_hitters_sql,
+    kmv_distinct,
+    kmv_distinct_sql,
+)
 
 KMV_SHINGLE_N = 3
 CO_LIFT_ENTITIES = [
@@ -105,6 +110,10 @@ def q_ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.sq8_topk(e, q, k=ANN_K).orderBy("query_id", "rank")
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters(_load(spark, sf_dir, "documents")).orderBy("token")
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") < BENCH_DOC_MAX_ID)
@@ -117,6 +126,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "co_lift": q_co_lift,
     "kmv_distinct": q_kmv_distinct,
+    "heavy_hitters": q_heavy_hitters,
     "ann_sq8_topk": q_ann_sq8_topk,
     "contamination": q_contamination,
 }
@@ -163,6 +173,7 @@ def _oracles() -> dict[str, str]:
         "graph_triangles": G.triangle_counts_sql(edges) + "\nORDER BY node",
         "co_lift": co_occ_order(G.co_occurrence_lift_sql(co_rel)),
         "kmv_distinct": kmv_distinct_sql(kmv_rel, "lang") + "\nORDER BY lang",
+        "heavy_hitters": heavy_hitters_sql("documents"),
         "ann_sq8_topk": sq8_cte,
         "contamination": contamination_report_sql(
             f"SELECT doc_id, text FROM documents WHERE doc_id >= {BENCH_DOC_MAX_ID}",

@@ -259,6 +259,25 @@ def q_sequence_packing_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------- multimodal
 
 
+# cluster resolution runs the LSH pair graph at a high-precision
+# threshold: near-dup clusters should merge only true rewrites, and 0.8
+# keeps the DuckDB transitive-closure oracle's reach set small enough to
+# stay exact at sf0.01
+DUP_CLUSTER_T = 0.8
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dup_clusters(
+        _load(spark, sf_dir, "documents"),
+        threshold=DUP_CLUSTER_T,
+        max_bucket=LSH_MAX_BUCKET,
+    ).orderBy("doc_id")
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.repetition_signals(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extractor_spark.operators.multimodal import attach_payloads
 
@@ -298,6 +317,8 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "stratified_sample": q_stratified_sample,
     "sequence_packing_sorted": q_sequence_packing_sorted,
+    "dup_clusters": q_dup_clusters,
+    "repetition_signals": q_repetition_signals,
 }
 
 
@@ -707,6 +728,43 @@ def _oracles() -> dict[str, str]:
                    round(avg(n_bytes), 2) AS mean_bytes
             FROM a GROUP BY kind ORDER BY kind
         """,
+        # pair graph = the minhash-LSH pipeline at DUP_CLUSTER_T (guard
+        # mirrored), clusters = transitive closure (the recursive-CTE twin
+        # of the pointer-jumping CC), representative = min doc_id
+        "dup_clusters": f"""
+            WITH RECURSIVE {_minhash_sig_cte()},
+            band0 AS ({_band_sql()}),
+            band AS (
+              SELECT doc_id, band, h FROM (
+                SELECT doc_id, band, h,
+                       count(*) OVER (PARTITION BY band, h) AS _n
+                FROM band0
+              ) WHERE _n <= {LSH_MAX_BUCKET}
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+              FROM band a JOIN band b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+            ),
+            {_JACCARD_TAIL},
+            pairs AS (SELECT i, j FROM jac WHERE jaccard >= {DUP_CLUSTER_T}),
+            sym AS (
+              SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            comp AS (
+              SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+            )
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS cluster_id,
+                   d.doc_id = coalesce(c.component, d.doc_id) AS keep
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "repetition_signals": X.repetition_signals_sql("documents"),
     }
 
 

@@ -245,6 +245,45 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return with_h.select(F.col(id_col), fp.alias("simhash"))
 
 
+def dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-dup cluster resolution — the corpus-dedup endgame: LSH pairs
+    -> connected components -> one canonical representative per cluster.
+
+    Returns (id, cluster_id, keep): ``cluster_id`` = min doc id of the
+    connected component of the >=threshold Jaccard near-dup graph
+    (singleton docs are their own cluster), ``keep`` marks the
+    representative — ``filter(keep)`` IS the deduplicated corpus.
+
+    Pairwise near-dup lists (``minhash_lsh_pairs``) are not directly
+    actionable: near-duplication is transitive in practice (A~B, B~C
+    usually means drop two of three), so production pipelines cluster the
+    pair graph and keep one doc per cluster. Scale: the pair graph is
+    bucketed LSH (never all-pairs), and the clustering is the pointer-
+    jumping CC already bounded at O(log n) rounds with per-round
+    localCheckpoint (`operators/canonicalize.py`); the final assignment
+    is one left join on the doc id.
+    """
+    from entity_extractor_spark.operators.canonicalize import connected_components
+
+    pairs = minhash_lsh_pairs(docs, id_col, text_col, threshold, max_bucket)
+    comp = connected_components(pairs, src="i", dst="j")
+    return (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 def simhash_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:

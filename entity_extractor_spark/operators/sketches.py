@@ -1,4 +1,13 @@
-"""Deterministic cardinality sketches.
+"""Deterministic cardinality and frequency sketches.
+
+Heavy hitters: the two-pass Misra-Gries scheme — per-partition MG
+summaries of capacity k = ceil(1/support) produce a candidate set that
+PROVABLY contains every token with global frequency >= support * N (a
+token absent from every partition's summary has total count <=
+N/(k+1) < support * N), then an exact recount of candidates only. The
+output is the exact heavy-hitter set with exact counts, independent of
+partitioning — which is what makes it a hash-verified contract value
+even though the sketch pass itself is partition-dependent.
 
 KMV (k-minimum-values) distinct-count estimation — the mergeable sketch
 behind approx_count_distinct-style metrics, built here from first
@@ -72,6 +81,111 @@ def kmv_distinct(
         F.col("n_exact"),
         F.round(est, 4).alias("kmv_estimate"),
     )
+
+
+HH_SUPPORT = 0.02  # default support threshold s: report tokens with freq >= s*N
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    support: float = HH_SUPPORT,
+) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with count >= support * N
+    total tokens) without a full-vocabulary shuffle.
+
+    Pass 1 — candidates: one ``mapInPandas`` over the text column keeps a
+    Misra-Gries summary of capacity k = ceil(1/support) PER PARTITION
+    (bounded memory, pure map stage) and emits only the <= k surviving
+    tokens. MG guarantees any token it evicts entirely from a partition
+    has partition count <= n_p/(k+1); summing over partitions, a token
+    in no summary has total count <= N/(k+1) < support*N — so the union
+    of summaries is a superset of the true heavy hitters.
+
+    Pass 2 — exact recount: broadcast the candidate tokens (<= k per
+    partition — a few KB), hash-join them against the exploded token
+    stream map-side, and aggregate only the survivors; the exchange
+    carries at most (candidates x partitions) partial rows instead of
+    the full vocabulary. The >= filter against the exact total token
+    count N makes the result exact and partitioning-invariant.
+
+    Reference basis: the reference's frequency analytics are full
+    value_counts (`app.py:210-214`); this is the bounded-memory form
+    those analytics need at 100 TB vocabulary sizes.
+    """
+    import math
+    import re as _re
+
+    import pandas as pd
+
+    from entity_extractor_spark.functions.text import TOKEN_RE
+
+    k = math.ceil(1.0 / support)
+    tok_re = _re.compile(TOKEN_RE)
+
+    def _mg_partition(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                for t in tok_re.findall(text.lower()):
+                    if t in counts:
+                        counts[t] += 1
+                    elif len(counts) < k:
+                        counts[t] = 1
+                    else:
+                        # decrement-all step; drop zeros
+                        dead = []
+                        for key in counts:
+                            counts[key] -= 1
+                            if counts[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counts[key]
+        yield pd.DataFrame({"token": list(counts.keys())})
+
+    cands = (
+        docs.select(text_col)
+        .mapInPandas(_mg_partition, "token string")
+        .dropDuplicates(["token"])
+    )
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("token")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    counted = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(support) * F.col("n_total"))
+        .select("token", "cnt", "n_total")
+    )
+
+
+def heavy_hitters_sql(rel: str = "documents", support: float = HH_SUPPORT) -> str:
+    """Exact DuckDB twin of :func:`heavy_hitters` — the sketch pass has
+    no oracle (it is only a candidate generator); the exact semantics
+    (count >= support * N) are plain SQL."""
+    from entity_extractor_spark.functions.text import tokenize_sql
+
+    return f"""
+        WITH _hh_tok AS (
+          SELECT unnest({tokenize_sql('text')}) AS token FROM {rel}
+        ),
+        _hh_tot AS (SELECT count(*) AS n_total FROM _hh_tok),
+        _hh_c AS (SELECT token, count(*) AS cnt FROM _hh_tok GROUP BY token)
+        SELECT c.token, CAST(c.cnt AS BIGINT) AS cnt,
+               CAST(t.n_total AS BIGINT) AS n_total
+        FROM _hh_c c, _hh_tot t
+        WHERE c.cnt >= {support} * t.n_total
+        ORDER BY c.token
+    """
 
 
 def kmv_distinct_sql(rel: str, group_col: str, k: int = KMV_K) -> str:

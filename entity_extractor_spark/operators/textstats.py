@@ -160,6 +160,114 @@ def doc_fingerprint_sql(expr: str) -> list[str]:
     return [f"({hashes})[{i + 1}] AS fp{i}" for i in range(FP_K)]
 
 
+# Repetition-signal n-gram orders (Gopher-style repetition filters:
+# Rae et al. 2021 measure top-n-gram occupancy and duplicated-n-gram
+# fraction as the strongest low-quality indicators for web text).
+REP_TOP_N = 2  # top-bigram occupancy
+REP_DUP_N = 3  # duplicated-trigram fraction
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals for quality filtering:
+
+    * ``distinct_ratio``   — distinct tokens / total tokens;
+    * ``top_bigram_frac``  — occupancy of the single most frequent word
+      bigram (boilerplate/spam indicator);
+    * ``dup_trigram_frac`` — fraction of trigram occurrences whose
+      trigram appears more than once in the document (intra-doc
+      repetition, the analog of Gopher's duplicated-line fraction for
+      corpora without line structure).
+
+    Scale: the per-gram multiplicities come from explode -> groupBy on
+    (doc, gram) — partial aggregation combines repeats map-side, and the
+    shuffle key includes the document id, so the work is uniformly
+    keyed no matter how skewed individual documents are. No per-row
+    Python; all fractions are exact integer ratios rounded half-even to
+    6 places (mirrored verbatim in the DuckDB oracle).
+    """
+    toks = T.tokenize(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        T.word_shingles(toks, REP_TOP_N).alias("_g2"),
+        T.word_shingles(toks, REP_DUP_N).alias("_g3"),
+    )
+
+    def _gram_agg(col: str, out_top: str, out_dup: str, out_tot: str) -> DataFrame:
+        return (
+            base.select(id_col, F.explode(col).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(id_col)
+            .agg(
+                F.max("c").alias(out_top),
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(out_dup),
+                F.sum("c").alias(out_tot),
+            )
+        )
+
+    g2 = _gram_agg("_g2", "top2", "dup2", "tot2")
+    g3 = _gram_agg("_g3", "top3", "dup3", "tot3")
+    return (
+        base.select(id_col, "n_tokens", "n_distinct")
+        .join(g2, id_col, "left")
+        .join(g3, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("n_distinct") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"), 6
+            ).alias("distinct_ratio"),
+            F.round(F.coalesce(F.col("top2") / F.col("tot2"), F.lit(0.0)), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.coalesce(F.col("dup3") / F.col("tot3"), F.lit(0.0)), 6).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+
+
+def repetition_signals_sql(rel: str = "documents", id_col: str = "doc_id") -> str:
+    """Exact DuckDB twin of :func:`repetition_signals` (ORDER BY id)."""
+    toks = T.tokenize_sql("text")
+    sh2 = T.word_shingles_sql("toks", REP_TOP_N)
+    sh3 = T.word_shingles_sql("toks", REP_DUP_N)
+    return f"""
+        WITH base AS (
+          SELECT {id_col}, {toks} AS toks FROM {rel}
+        ),
+        b AS (
+          SELECT {id_col}, len(toks) AS n_tokens,
+                 len(list_distinct(toks)) AS n_distinct,
+                 {sh2} AS sh2, {sh3} AS sh3
+          FROM base
+        ),
+        g2 AS (
+          SELECT {id_col}, max(c) AS top2, sum(c) AS tot2 FROM (
+            SELECT {id_col}, g, count(*) AS c
+            FROM (SELECT {id_col}, unnest(sh2) AS g FROM b) GROUP BY {id_col}, g
+          ) GROUP BY {id_col}
+        ),
+        g3 AS (
+          SELECT {id_col}, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3,
+                 sum(c) AS tot3 FROM (
+            SELECT {id_col}, g, count(*) AS c
+            FROM (SELECT {id_col}, unnest(sh3) AS g FROM b) GROUP BY {id_col}, g
+          ) GROUP BY {id_col}
+        )
+        SELECT b.{id_col}, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+               round(b.n_distinct * 1.0 / greatest(b.n_tokens, 1), 6) AS distinct_ratio,
+               round(coalesce(g2.top2 * 1.0 / g2.tot2, 0.0), 6) AS top_bigram_frac,
+               round(coalesce(g3.dup3 * 1.0 / g3.tot3, 0.0), 6) AS dup_trigram_frac
+        FROM b LEFT JOIN g2 USING ({id_col}) LEFT JOIN g3 USING ({id_col})
+        ORDER BY b.{id_col}
+    """
+
+
 def corpus_quality_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Aggregate curation report: per predicted language, doc counts and
     mean quality/token stats. The only shuffle is the final groupBy."""

@@ -469,3 +469,70 @@ def test_embedding_lsh_hot_bucket_guard_boundary(spark):
     dropped = spark_pairs(9)  # the 10-bucket exceeds the guard: DROPPED
     assert len(dropped) == 3  # only the size-3 bucket survives
     assert dropped == duck_pairs(9)
+
+
+# --------------------------------------------------------------------------- dup clusters
+
+
+def test_dup_clusters_transitive_merge(spark):
+    # J(1,2) = J(2,3) = 14/16 = 0.875 >= 0.8 but J(1,3) = 13/17 = 0.765
+    # < 0.8: doc 3 reaches doc 1's cluster only through the transitive
+    # edge via doc 2 — the exact case pair lists cannot resolve
+    w = [f"word{i:02d}" for i in range(18)]
+    rows = [
+        (1, " ".join(w[:15])),
+        (2, " ".join(w[:14] + [w[15]])),
+        (3, " ".join(w[:13] + [w[15], w[16]])),
+        (9, "totally disjoint vocabulary over here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["i"], r["j"])
+        for r in D.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    got = {r["doc_id"]: r for r in D.dup_clusters(docs, threshold=0.8).collect()}
+    assert got[1]["cluster_id"] == got[2]["cluster_id"] == got[3]["cluster_id"] == 1
+    assert got[9]["cluster_id"] == 9  # singleton keeps itself
+    keeps = {d for d, r in got.items() if r["keep"]}
+    assert keeps == {1, 9}  # one representative per cluster (min id)
+
+
+def test_dup_clusters_filter_keep_is_dedup(spark):
+    rows = [(i, "identical text body repeated verbatim") for i in range(6)] + [
+        (10, "another distinct document entirely different words")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.dup_clusters(docs, threshold=0.8)
+    kept = [r["doc_id"] for r in out.filter(F.col("keep")).collect()]
+    assert sorted(kept) == [0, 10]
+
+
+# --------------------------------------------------------------------------- repetition signals
+
+
+def test_repetition_signals_distinct_vs_degenerate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in X.repetition_signals(docs).collect()}
+    assert got[1]["distinct_ratio"] == 1.0
+    assert got[1]["top_bigram_frac"] == 0.2  # 5 distinct bigrams, max count 1
+    assert got[1]["dup_trigram_frac"] == 0.0
+    assert got[2]["distinct_ratio"] == pytest.approx(1 / 6, abs=1e-6)
+    assert got[2]["top_bigram_frac"] == 1.0
+    assert got[2]["dup_trigram_frac"] == 1.0
+
+
+def test_repetition_signals_short_doc_zero_fracs(spark):
+    # fewer tokens than the n-gram orders: fractions default 0, no crash
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in X.repetition_signals(docs).collect()}
+    assert got[1]["n_tokens"] == 1 and got[1]["top_bigram_frac"] == 0.0
+    assert got[2]["n_tokens"] == 0 and got[2]["dup_trigram_frac"] == 0.0

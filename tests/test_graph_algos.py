@@ -179,3 +179,47 @@ def test_contamination_planted_overlap(spark):
     assert rows[1]["contaminated"] and rows[1]["n_shared_shingles"] == 2
     assert not rows[2]["contaminated"] and rows[2]["n_shared_shingles"] == 0
     assert rows[3]["contaminated"] and rows[3]["n_shared_shingles"] >= 5
+
+
+# --------------------------------------------------------------------------- heavy hitters
+
+
+def _naive_heavy(spark, docs, support):
+    from pyspark.sql import functions as F
+
+    from entity_extractor_spark.functions import text as T
+
+    toks = docs.select(F.explode(T.tokenize(F.col("text"))).alias("token"))
+    n = toks.count()
+    return {
+        (r["token"], r["cnt"])
+        for r in toks.groupBy("token").count().withColumnRenamed("count", "cnt").collect()
+        if r["cnt"] >= support * n
+    }
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    from entity_extractor_spark.operators.sketches import heavy_hitters
+
+    # 40 docs of unique filler + a "hot" token barely above support:
+    # with support 0.1 and 9 tokens/doc + hot in 40% of docs, the
+    # Misra-Gries summaries must carry "hot" out of at least one partition
+    rows = []
+    for i in range(40):
+        filler = " ".join(f"f{i}x{j}" for j in range(9))
+        rows.append((i, filler + (" hot" if i % 5 < 2 else "")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["token"], r["cnt"]) for r in heavy_hitters(docs, support=0.04).collect()}
+    assert got == _naive_heavy(spark, docs, 0.04)
+    assert any(t == "hot" for t, _ in got)
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    from entity_extractor_spark.operators.sketches import heavy_hitters
+
+    rows = [(i, "alpha beta " + " ".join(f"u{i}v{j}" for j in range(6))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r1 = {tuple(r) for r in heavy_hitters(docs.repartition(1), support=0.1).collect()}
+    r7 = {tuple(r) for r in heavy_hitters(docs.repartition(7), support=0.1).collect()}
+    assert r1 == r7
+    assert {t for t, _, _ in r1} == {"alpha", "beta"}
