@@ -184,3 +184,42 @@ def test_triangle_counts_no_cartesian(spark):
     )
     plan = P.formatted_plan(triangle_counts(e))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark):
+    """The exact recount must hash-join the exploded token stream against
+    the BROADCAST candidate set (<= ceil(1/support) tokens per partition);
+    a sort-merge join here would shuffle the full token stream by token —
+    exactly the full-vocabulary exchange the Misra-Gries pass exists to
+    avoid."""
+    from entity_extractor_spark.operators.sketches import heavy_hitters
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = P.formatted_plan(heavy_hitters(d, support=0.05))
+    assert P.has_broadcast_hash_join(plan), plan
+    assert not P.has_sort_merge_join(plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dup_clusters_pair_graph_no_cartesian(spark):
+    """Cluster resolution inherits the LSH banded equi self-join: the
+    final assignment join plus the bucket join must never degrade to a
+    cartesian/BNLJ over documents."""
+    from entity_extractor_spark.operators.dedup import dup_clusters
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = P.formatted_plan(dup_clusters(d, threshold=0.8))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_repetition_signals_gram_aggs_are_partial(spark):
+    """Both n-gram multiplicity aggs key on (doc_id, gram) — partial
+    HashAggregate before the exchange so intra-doc repeats combine
+    map-side; no window over the whole corpus."""
+    from entity_extractor_spark.operators.textstats import repetition_signals
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = P.formatted_plan(repetition_signals(d))
+    assert "HashAggregate" in plan, plan
+    assert "Window" not in plan, plan

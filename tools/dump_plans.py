@@ -57,6 +57,17 @@ rank×edge equi join on the node key then HashAggregate partial -> Exchange ->
 final on dst — the edge table partitioning is reused every round; integer
 fixed-point arithmetic keeps the result independent of this plan's parallelism
 entirely.""",
+    "heavy_hitters": """Exact heavy hitters via two-pass Misra-Gries (round 3).
+Wanted shape: pass 1 is MapInPandas (bounded per-partition MG summaries, no
+exchange on the text side); pass 2 BroadcastHashJoins the tiny candidate set
+against the exploded token stream — the full vocabulary is NEVER the shuffle
+key, only the <= ceil(1/support)-sized survivor set aggregates. Enforced by
+test_plans.py (broadcast join present, no SortMergeJoin/cartesian).""",
+    "repetition_signals": """Per-doc repetition quality signals (round 3). Wanted
+shape: two explode -> HashAggregate partial/final pairs keyed on
+(doc_id, gram) — intra-doc repeats combine map-side, skewed documents stay
+uniformly keyed — then two left joins back on doc_id. No Window, no per-row
+Python. Enforced by test_plans.py.""",
 }
 
 
@@ -131,6 +142,12 @@ def main() -> None:
         .groupBy("dst")
         .agg(F.sum("c").alias("s"))
     )
+
+    from entity_extractor_spark.operators.sketches import heavy_hitters
+    from entity_extractor_spark.operators.textstats import repetition_signals
+
+    plans["heavy_hitters"] = heavy_hitters(docs, support=0.05)
+    plans["repetition_signals"] = repetition_signals(docs)
 
     out = [
         "# PLANS — physical plans of the flagship stages",
