@@ -395,8 +395,10 @@ PRIORITY_KEYS = [
     # bool_sum / union_distinct went green in r02 and rotate out for the
     # three late-round-3 additions (dup_clusters, repetition_signals,
     # heavy_hitters), which have no driver history yet
+    # two_level_agg went green in r02 and rotates out for pii_scrub
+    # (round-3 addition, no driver history)
     "mention_counts", "mention_flags", "context_window", "exact_token_match",
-    "keyword_hits", "composite_likelihood", "two_level_agg",
+    "keyword_hits", "composite_likelihood",
     "topk_groups", "join_agg", "broadcast_join", "semi_join",
     "anti_join", "window_lag", "window_topk", "except_keys",
     "dedup_keys", "percent_of_total", "stats",
@@ -420,7 +422,7 @@ PRIORITY_KEYS = [
     # near-dup cluster resolution, repetition quality signals
     "pagerank_tokens", "graph_triangles", "co_lift", "kmv_distinct",
     "ann_sq8_topk", "contamination",
-    "dup_clusters", "repetition_signals", "heavy_hitters",
+    "dup_clusters", "repetition_signals", "heavy_hitters", "pii_scrub",
     # kernel / grouped / temporal flagships
     "conv_digest", "asof_join", "interval_join",
 ]

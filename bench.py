@@ -67,6 +67,7 @@ HEADLINE = [
     "heavy_hitters",
     "repetition_signals",
     "dup_clusters",
+    "pii_scrub",
 ]
 
 

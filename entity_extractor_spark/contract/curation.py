@@ -278,6 +278,15 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.repetition_signals(_load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entity_extractor_spark.operators.pii import attach_pii, scrub_pii
+
+    d = attach_pii(_load(spark, sf_dir, "documents"))
+    return scrub_pii(d).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "clean_text"
+    ).orderBy("doc_id")
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extractor_spark.operators.multimodal import attach_payloads
 
@@ -319,6 +328,7 @@ QUERIES = {
     "sequence_packing_sorted": q_sequence_packing_sorted,
     "dup_clusters": q_dup_clusters,
     "repetition_signals": q_repetition_signals,
+    "pii_scrub": q_pii_scrub,
 }
 
 
@@ -765,7 +775,25 @@ def _oracles() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "repetition_signals": X.repetition_signals_sql("documents"),
+        "pii_scrub": _pii_scrub_oracle(),
     }
+
+
+def _pii_scrub_oracle() -> str:
+    from entity_extractor_spark.operators import pii as PII
+
+    counts = PII.pii_counts_sql("text")
+    return f"""
+        WITH d AS (
+          SELECT doc_id, {PII.attach_pii_sql('text')} AS text FROM documents
+        )
+        SELECT doc_id,
+               {counts['email']} AS n_email,
+               {counts['ip']} AS n_ip,
+               {counts['phone']} AS n_phone,
+               {PII.scrub_text_sql('text')} AS clean_text
+        FROM d ORDER BY doc_id
+    """
 
 
 ORACLES = _oracles()

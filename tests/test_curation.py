@@ -536,3 +536,39 @@ def test_repetition_signals_short_doc_zero_fracs(spark):
     got = {r["doc_id"]: r for r in X.repetition_signals(docs).collect()}
     assert got[1]["n_tokens"] == 1 and got[1]["top_bigram_frac"] == 0.0
     assert got[2]["n_tokens"] == 0 and got[2]["dup_trigram_frac"] == 0.0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from entity_extractor_spark.operators.pii import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.co.uk then 10.0.255.7 call 555-123-4567"),
+            (2, "no pii here, just 1.2 floats and version 3.4.5"),
+            (3, "x@y.z is not an email (one-letter TLD); 999.999.999.999 is ip-shaped"),
+            (4, "two mails a@b.io c@d.org and 555-000-1111 555-222-3333"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_ip"] == 1 and got[1]["n_phone"] == 1
+    assert got[1]["clean_text"] == "mail [EMAIL] then [IP] call [PHONE]"
+    # zero-match docs pass through byte-identical
+    assert got[2]["clean_text"] == docs.collect()[1]["text"]
+    assert (got[2]["n_email"], got[2]["n_ip"], got[2]["n_phone"]) == (0, 0, 0)
+    # loose-pattern edges: 1-letter TLD not an email; dotted quad IS redacted
+    # (patterns favor recall — over-redaction is the safe failure mode)
+    assert got[3]["n_email"] == 0 and got[3]["n_ip"] == 1
+    assert "x@y.z" in got[3]["clean_text"] and "[IP]" in got[3]["clean_text"]
+    assert got[4]["n_email"] == 2 and got[4]["n_phone"] == 2
+    assert got[4]["clean_text"] == "two mails [EMAIL] [EMAIL] and [PHONE] [PHONE]"
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    from entity_extractor_spark import plans as P
+    from entity_extractor_spark.operators.pii import scrub_pii
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    plan = P.formatted_plan(scrub_pii(docs))
+    assert P.count_exchanges(plan) == 0, plan
+    assert "BatchEvalPython" not in plan and "Python" not in plan, plan

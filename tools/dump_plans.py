@@ -68,6 +68,11 @@ shape: two explode -> HashAggregate partial/final pairs keyed on
 (doc_id, gram) — intra-doc repeats combine map-side, skewed documents stay
 uniformly keyed — then two left joins back on doc_id. No Window, no per-row
 Python. Enforced by test_plans.py.""",
+    "pii_scrub": """PII redaction pass (round 3). Wanted shape: a single Project
+over the scan — chained regexp_replace + regexp_count stay inside
+WholeStageCodegen, ZERO exchanges and no Python eval; the scan partitioning
+survives so the scrub fuses into whatever stage follows at 100 TB. Enforced
+by test_curation.py (exchange count 0, no BatchEvalPython).""",
 }
 
 
@@ -148,6 +153,10 @@ def main() -> None:
 
     plans["heavy_hitters"] = heavy_hitters(docs, support=0.05)
     plans["repetition_signals"] = repetition_signals(docs)
+
+    from entity_extractor_spark.operators.pii import scrub_pii
+
+    plans["pii_scrub"] = scrub_pii(docs.select("doc_id", "text"))
 
     out = [
         "# PLANS — physical plans of the flagship stages",
