@@ -409,10 +409,12 @@ PRIORITY_KEYS = [
     # training-data curation suite (first-class per the judge); keys green
     # in BOTH r01 and r02 rotate out for the round-3 additions:
     # dedup_exact, minhash_signature, ngram_jaccard_pairs, simhash_pairs,
-    # ann_brute_topk, exact_mode_scan, tfidf_topk, lang_id_counts
+    # ann_brute_topk, exact_mode_scan, tfidf_topk, lang_id_counts;
+    # quality_scores (green in r01 AND r02) rotates out for khop_neighbors
+    # (round-3 addition, no driver history)
     "minhash_lsh_pairs",
     "simhash_fingerprint", "embedding_dups_lsh",
-    "ann_lsh_topk", "ann_ivf_topk", "quality_scores",
+    "ann_lsh_topk", "ann_ivf_topk",
     "multimodal_meta",
     # round-3 rotation: first-ever driver rows for the three round-2 additions
     # plus the two retrieval-quality metrics
@@ -420,7 +422,8 @@ PRIORITY_KEYS = [
     "ann_recall_lsh", "ann_recall_ivf",
     # round-3 additions: graph analytics, sketches, quantized ANN, hygiene,
     # near-dup cluster resolution, repetition quality signals
-    "pagerank_tokens", "graph_triangles", "co_lift", "kmv_distinct",
+    "pagerank_tokens", "graph_triangles", "co_lift", "khop_neighbors",
+    "kmv_distinct",
     "ann_sq8_topk", "contamination",
     "dup_clusters", "repetition_signals", "heavy_hitters", "pii_scrub",
     # kernel / grouped / temporal flagships

@@ -68,6 +68,7 @@ HEADLINE = [
     "repetition_signals",
     "dup_clusters",
     "pii_scrub",
+    "khop_neighbors",
 ]
 
 

@@ -35,6 +35,8 @@ CO_LIFT_ENTITIES = [
     "window", "join", "scan", "filter", "sort", "query",
 ]
 BENCH_DOC_MAX_ID = 5
+KHOP_SEEDS = ["spark"]
+KHOP_K = 3
 # 4-gram overlap: at the fixture scale 5-grams almost never collide
 # (1 hit corpus-wide) while 3-grams flag ~30% of docs — 4 keeps the
 # check selective AND exercised (11 contaminated docs at sf0.01)
@@ -95,6 +97,30 @@ def q_co_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.co_occurrence_lift(ent).orderBy("ea", "eb")
 
 
+def _doc_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite doc <-> entity edges ('doc:<id>', entity token) — the
+    mention graph k-hop traverses: hop 1 from an entity = the documents
+    containing it, hop 2 = its co-mentioned entities, hop 3 = their
+    documents."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("i"),
+        F.explode(
+            F.array_intersect(
+                F.array_distinct(T.tokenize(F.col("text"))),
+                F.lit(sorted(CO_LIFT_ENTITIES)),
+            )
+        ).alias("j"),
+    )
+
+
+def q_khop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        G.khop_neighbors(_doc_entity_edges(spark, sf_dir), KHOP_SEEDS, KHOP_K)
+        .orderBy("hop", "node")
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     exploded = d.select(
@@ -125,6 +151,7 @@ QUERIES = {
     "pagerank_tokens": q_pagerank_tokens,
     "graph_triangles": q_graph_triangles,
     "co_lift": q_co_lift,
+    "khop_neighbors": q_khop_neighbors,
     "kmv_distinct": q_kmv_distinct,
     "heavy_hitters": q_heavy_hitters,
     "ann_sq8_topk": q_ann_sq8_topk,
@@ -137,6 +164,9 @@ def _oracles() -> dict[str, str]:
     toks = T.tokenize_sql("text")
     ent_lits = ", ".join(f"'{e}'" for e in sorted(CO_LIFT_ENTITIES))
     co_rel = f"""SELECT doc_id, unnest(list_intersect(list_distinct({toks}), [{ent_lits}])) AS entity
+        FROM documents"""
+    khop_rel = f"""SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS i,
+            unnest(list_intersect(list_distinct({toks}), [{ent_lits}])) AS j
         FROM documents"""
     kmv_rel = f"""SELECT lang AS grp,
             unnest({T.word_shingles_sql('ts', KMV_SHINGLE_N)}) AS val
@@ -172,6 +202,8 @@ def _oracles() -> dict[str, str]:
         + "\nORDER BY rank_fp DESC, node",
         "graph_triangles": G.triangle_counts_sql(edges) + "\nORDER BY node",
         "co_lift": co_occ_order(G.co_occurrence_lift_sql(co_rel)),
+        "khop_neighbors": G.khop_neighbors_sql(khop_rel, KHOP_SEEDS, KHOP_K)
+        + "\nORDER BY hop, node",
         "kmv_distinct": kmv_distinct_sql(kmv_rel, "lang") + "\nORDER BY lang",
         "heavy_hitters": heavy_hitters_sql("documents"),
         "ann_sq8_topk": sq8_cte,

@@ -222,6 +222,86 @@ def triangle_counts_sql(edges_rel: str) -> str:
         GROUP BY node"""
 
 
+def khop_neighbors(
+    edges: DataFrame, seeds: list[str], k: int = 3, checkpoint: bool = True
+) -> DataFrame:
+    """Minimum-hop BFS neighborhood: every node within ``k`` hops of the
+    seed set over the undirected {i, j} edge set, labeled with its hop
+    distance (seeds = hop 0).
+
+    The KG consumer's traversal query ("everything within 3 hops of
+    entity X") — the reference has no traversal at all; its closest
+    behavior is the one-hop work-list restriction
+    (`extraction_engine.py:228`). Each hop is one equi join of the
+    frontier against the symmetric edge list plus one left-anti join
+    against the visited set — both keyed on the node id, i.e. the
+    shuffle a node-bucketed edge table already satisfies at 100 TB. The
+    frontier is typically orders of magnitude smaller than the edge
+    table, so AQE picks a broadcast for the frontier side; no cartesian
+    or BNLJ can appear (plan-guarded in tests/test_plans.py). The
+    visited set is re-derived per hop via ``localCheckpoint`` to cut
+    the iterative lineage (same discipline as pagerank_fixed /
+    operators/canonicalize.py); ``checkpoint=False`` keeps the full
+    logical plan visible — used by the plan guard in
+    tests/test_plans.py, since a checkpointed frame explains as an
+    opaque RDD scan.
+
+    Min-hop correctness: a node reachable at hops 1 and 3 is labeled 1,
+    because the anti join removes every previously-visited node before
+    it can re-enter the frontier.
+    """
+    spark = edges.sparkSession
+    e = _sym_weighted(edges).select("src", "dst")
+    visited = spark.createDataFrame(
+        [(s,) for s in sorted(set(seeds))], "node string"
+    ).withColumn("hop", F.lit(0))
+    frontier = visited.select("node")
+    cut = (lambda df: df.localCheckpoint(eager=False)) if checkpoint else (lambda df: df)
+    for h in range(1, k + 1):
+        nxt = cut(
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        visited = cut(visited.unionByName(nxt.withColumn("hop", F.lit(h))))
+        frontier = nxt
+    return visited
+
+
+def khop_neighbors_sql(edges_rel: str, seeds: list[str], k: int = 3) -> str:
+    """DuckDB twin of :func:`khop_neighbors`: the BFS unrolled as chained
+    CTEs (one per hop), each hop joining the previous round's frontier
+    (visited nodes with hop = h-1) and anti-filtering the visited set."""
+    seed_vals = ", ".join(f"('{s}')" for s in sorted(set(seeds)))
+    ctes = [
+        f"""_kh_raw AS ({edges_rel}),
+        _kh_e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT i AS src, j AS dst FROM _kh_raw WHERE i <> j
+            UNION ALL
+            SELECT j AS src, i AS dst FROM _kh_raw WHERE i <> j
+          )
+        ),
+        _kh_v0 AS (SELECT node, 0 AS hop FROM (VALUES {seed_vals}) s(node))"""
+    ]
+    for h in range(1, k + 1):
+        prev = f"_kh_v{h - 1}"
+        ctes.append(
+            f"""_kh_v{h} AS (
+          SELECT node, hop FROM {prev}
+          UNION ALL
+          SELECT node, {h} AS hop FROM (
+            SELECT DISTINCT e.dst AS node
+            FROM {prev} f
+            JOIN _kh_e e ON f.node = e.src AND f.hop = {h - 1}
+            WHERE e.dst NOT IN (SELECT node FROM {prev})
+          )
+        )"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, hop FROM _kh_v{k}"
+
+
 def co_occurrence_lift(
     doc_entity: DataFrame, min_pair_docs: int = 1
 ) -> DataFrame:

@@ -73,6 +73,44 @@ def test_triangle_duplicate_and_reversed_edges_collapse(spark):
     assert rows == {"a": 1, "b": 1, "c": 1}
 
 
+# --------------------------------------------------------------------------- k-hop BFS
+
+
+def test_khop_path_graph_hop_labels(spark):
+    # path a-b-c-d-e, seed a, k=3: hops 0..3; e (4 hops away) excluded
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    rows = {r["node"]: r["hop"] for r in G.khop_neighbors(_edges(spark, path), ["a"], k=3).collect()}
+    assert rows == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_khop_min_hop_wins_on_cycles(spark):
+    # b reachable at hop 1 directly AND at hop 3 around the square
+    # a-c-d-b: the label must be the minimum (1), never duplicated
+    sq = [("a", "b"), ("a", "c"), ("c", "d"), ("d", "b")]
+    out = G.khop_neighbors(_edges(spark, sq), ["a"], k=3).collect()
+    rows = {r["node"]: r["hop"] for r in out}
+    assert len(out) == len(rows)  # one row per node
+    assert rows == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_khop_multi_seed_and_isolated_seed(spark):
+    # two seeds expand together; a seed absent from the edge set still
+    # appears at hop 0 (both engines agree on that convention)
+    e = [("a", "b"), ("c", "d")]
+    rows = {
+        r["node"]: r["hop"]
+        for r in G.khop_neighbors(_edges(spark, e), ["a", "c", "zz"], k=2).collect()
+    }
+    assert rows == {"a": 0, "c": 0, "zz": 0, "b": 1, "d": 1}
+
+
+def test_khop_saturation_is_stable(spark):
+    # k beyond the diameter: no growth, no duplicate rows
+    tri = [("a", "b"), ("b", "c"), ("c", "a")]
+    out = G.khop_neighbors(_edges(spark, tri), ["a"], k=5).collect()
+    assert sorted((r["node"], r["hop"]) for r in out) == [("a", 0), ("b", 1), ("c", 1)]
+
+
 # --------------------------------------------------------------------------- co-occurrence lift
 
 

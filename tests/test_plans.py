@@ -186,6 +186,20 @@ def test_triangle_counts_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_khop_frontier_joins_no_cartesian(spark):
+    """Every hop is an equi join (frontier x edges) plus a left-anti
+    join (vs visited), both keyed on the node id — a cartesian/BNLJ in
+    the expansion would touch the full edge set per frontier row."""
+    from entity_extractor_spark.operators.graph_algos import khop_neighbors
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")], "i string, j string"
+    )
+    plan = P.formatted_plan(khop_neighbors(e, ["a"], k=2, checkpoint=False))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_heavy_hitters_recount_broadcasts_candidates(spark):
     """The exact recount must hash-join the exploded token stream against
     the BROADCAST candidate set (<= ceil(1/support) tokens per partition);

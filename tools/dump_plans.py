@@ -73,6 +73,12 @@ over the scan — chained regexp_replace + regexp_count stay inside
 WholeStageCodegen, ZERO exchanges and no Python eval; the scan partitioning
 survives so the scrub fuses into whatever stage follows at 100 TB. Enforced
 by test_curation.py (exchange count 0, no BatchEvalPython).""",
+    "khop_hop": """One k-hop BFS expansion (round 3). Wanted shape: frontier
+equi-joined against the node-keyed symmetric edge list (AQE broadcasts the
+frontier side — it is orders of magnitude smaller than the edges), then a
+left-anti hash join against the visited set; never a cartesian/BNLJ. At scale
+the edge table is bucketed by src so every hop reuses that partitioning.
+Enforced by test_plans.py.""",
 }
 
 
@@ -157,6 +163,14 @@ def main() -> None:
     from entity_extractor_spark.operators.pii import scrub_pii
 
     plans["pii_scrub"] = scrub_pii(docs.select("doc_id", "text"))
+
+    from entity_extractor_spark.operators.graph_algos import khop_neighbors
+
+    word_e = docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("i"),
+        F.explode(F.array_distinct(F.split(F.lower("text"), r"\\s+"))).alias("j"),
+    )
+    plans["khop_hop"] = khop_neighbors(word_e, ["spark"], k=1, checkpoint=False)
 
     out = [
         "# PLANS — physical plans of the flagship stages",
