@@ -66,9 +66,9 @@ HEADLINE = [
     "contamination",
     "heavy_hitters",
     "repetition_signals",
-    "dup_clusters",
     "pii_scrub",
     "khop_neighbors",
+    "link_prediction",
 ]
 
 
@@ -92,9 +92,11 @@ def _q_context_window_100(spark, sf_dir):
         .select(F.col("conv_id").cast("long").alias("doc_id"), "context")
     )
 # (pair-emitting near-dup queries — ngram_jaccard_pairs, minhash_lsh_pairs,
-# simhash_pairs — are correctness-gated but excluded here: the synthetic
-# corpus is pathologically self-similar, so their output is quadratic in a
-# way no real corpus is; see BENCH.md)
+# simhash_pairs, and dup_clusters which consumes the LSH pair graph — are
+# correctness-gated but excluded here: the synthetic corpus is pathologically
+# self-similar (at sf0.1, 8.1M of the 12.5M possible doc pairs are >=0.8
+# Jaccard), so their output is quadratic in a way no real corpus is; see
+# BENCH.md)
 
 
 def _materialize(df) -> None:

@@ -37,6 +37,11 @@ CO_LIFT_ENTITIES = [
 BENCH_DOC_MAX_ID = 5
 KHOP_SEEDS = ["spark"]
 KHOP_K = 3
+# doc nodes carry <= len(CO_LIFT_ENTITIES) = 12 edges, entity nodes
+# hundreds: capping wedge centers at 12 admits every document and skips
+# every entity hub — the guard that keeps the wedge join linear in docs
+LINKPRED_CENTER_CAP = 12
+LINKPRED_MIN_COMMON = 2
 # 4-gram overlap: at the fixture scale 5-grams almost never collide
 # (1 hit corpus-wide) while 3-grams flag ~30% of docs — 4 keeps the
 # check selective AND exercised (11 contaminated docs at sf0.01)
@@ -121,6 +126,20 @@ def q_khop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-pair link prediction over the bipartite mention graph:
+    common = documents shared by the two entities, Jaccard over their
+    bipartite neighborhoods."""
+    return (
+        G.link_prediction(
+            _doc_entity_edges(spark, sf_dir),
+            max_center_degree=LINKPRED_CENTER_CAP,
+            min_common=LINKPRED_MIN_COMMON,
+        )
+        .orderBy("a", "b")
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     exploded = d.select(
@@ -152,6 +171,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "co_lift": q_co_lift,
     "khop_neighbors": q_khop_neighbors,
+    "link_prediction": q_link_prediction,
     "kmv_distinct": q_kmv_distinct,
     "heavy_hitters": q_heavy_hitters,
     "ann_sq8_topk": q_ann_sq8_topk,
@@ -204,6 +224,12 @@ def _oracles() -> dict[str, str]:
         "co_lift": co_occ_order(G.co_occurrence_lift_sql(co_rel)),
         "khop_neighbors": G.khop_neighbors_sql(khop_rel, KHOP_SEEDS, KHOP_K)
         + "\nORDER BY hop, node",
+        "link_prediction": G.link_prediction_sql(
+            khop_rel,
+            max_center_degree=LINKPRED_CENTER_CAP,
+            min_common=LINKPRED_MIN_COMMON,
+        )
+        + "\nORDER BY a, b",
         "kmv_distinct": kmv_distinct_sql(kmv_rel, "lang") + "\nORDER BY lang",
         "heavy_hitters": heavy_hitters_sql("documents"),
         "ann_sq8_topk": sq8_cte,

@@ -43,8 +43,22 @@ def _sym_weighted(edges: DataFrame) -> DataFrame:
     return both.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
 
 
+def _cut(df: DataFrame, checkpoint: bool) -> DataFrame:
+    """Materialize-once marker for a frame the algorithm references more
+    than once (per iteration, per wedge side, per hop): ``localCheckpoint``
+    persists the partitions and truncates lineage, so the edge derivation
+    (often an explode over the full corpus) runs ONCE instead of once per
+    reference — at 100 TB this is the difference between one scan and
+    ``iters`` scans. ``checkpoint=False`` keeps the logical plan intact
+    for the plan guards in tests/test_plans.py (a checkpointed frame
+    explains as an opaque RDD scan); a real cluster deployment would
+    materialize these to a table instead of executor memory."""
+    return df.localCheckpoint(eager=False) if checkpoint else df
+
+
 def pagerank_fixed(
-    edges: DataFrame, iters: int = PR_ITERS, scale: int = PR_SCALE
+    edges: DataFrame, iters: int = PR_ITERS, scale: int = PR_SCALE,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Weighted PageRank over the undirected multigraph in integer
     fixed-point.
@@ -69,11 +83,15 @@ def pagerank_fixed(
     agg; lineage is cut per round via localCheckpoint (same discipline
     as operators/canonicalize.py).
     """
-    e = _sym_weighted(edges)
+    # the edge list and node marginals are referenced EVERY iteration:
+    # without the cut, each round re-runs the upstream edge derivation
+    # (an explode over the full corpus for the word graph) — measured 18×
+    # at sf0.1 local[32] (103 s uncut -> 5.7 s)
+    e = _cut(_sym_weighted(edges), checkpoint)
     deg = e.groupBy("src").agg(
         F.count(F.lit(1)).alias("degree"), F.sum("w").alias("wout")
     )
-    nodes = deg.select(F.col("src").alias("node"), "degree", "wout")
+    nodes = _cut(deg.select(F.col("src").alias("node"), "degree", "wout"), checkpoint)
     n = nodes.count()
     base = int(scale * (PR_DAMP_DEN - PR_DAMP_NUM) // (PR_DAMP_DEN * n))
     ranks = nodes.select("node", F.lit(int(scale // n)).alias("rank_fp"))
@@ -153,7 +171,7 @@ def pagerank_fixed_sql(edges_rel: str, iters: int = PR_ITERS, scale: int = PR_SC
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     """Per-node triangle counts over the undirected {i, j} edge set.
 
     Node-iterator with total ordering: orient every edge low→high by
@@ -164,7 +182,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     nodes; all joins are equi joins on node keys. Exact integer counts
     — the DuckDB mirror hash-matches.
     """
-    e = _sym_weighted(edges).select("src", "dst")  # distinct directed pairs
+    # e feeds both the degree marginal and the orientation; oriented is
+    # referenced THREE times (two wedge sides + the closer) — cut both so
+    # the corpus-wide edge derivation runs once, not four times
+    e = _cut(_sym_weighted(edges).select("src", "dst"), checkpoint)  # distinct directed pairs
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranked = e.join(deg.withColumnRenamed("src", "node"), e["src"] == F.col("node")).select(
         "src", "dst", F.col("deg").alias("sdeg")
@@ -174,10 +195,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         ranked["dst"] == F.col("node"),
     ).select("src", "dst", "sdeg", "ddeg")
     # keep each undirected edge once, oriented from the (deg, id)-smaller end
-    oriented = ranked.filter(
-        (F.col("sdeg") < F.col("ddeg"))
-        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
-    ).select("src", "dst")
+    oriented = _cut(
+        ranked.filter(
+            (F.col("sdeg") < F.col("ddeg"))
+            | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+        ).select("src", "dst"),
+        checkpoint,
+    )
     w1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     w2 = oriented.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
     wedges = w1.join(w2, (F.col("a") == F.col("a2")) & (F.col("b") < F.col("c"))).select(
@@ -251,20 +275,21 @@ def khop_neighbors(
     it can re-enter the frontier.
     """
     spark = edges.sparkSession
-    e = _sym_weighted(edges).select("src", "dst")
+    # e is probed every hop — cut it so the edge derivation runs once
+    e = _cut(_sym_weighted(edges).select("src", "dst"), checkpoint)
     visited = spark.createDataFrame(
         [(s,) for s in sorted(set(seeds))], "node string"
     ).withColumn("hop", F.lit(0))
     frontier = visited.select("node")
-    cut = (lambda df: df.localCheckpoint(eager=False)) if checkpoint else (lambda df: df)
     for h in range(1, k + 1):
-        nxt = cut(
+        nxt = _cut(
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(visited, "node", "left_anti"),
+            checkpoint,
         )
-        visited = cut(visited.unionByName(nxt.withColumn("hop", F.lit(h))))
+        visited = _cut(visited.unionByName(nxt.withColumn("hop", F.lit(h))), checkpoint)
         frontier = nxt
     return visited
 
@@ -302,8 +327,125 @@ def khop_neighbors_sql(edges_rel: str, seeds: list[str], k: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT node, hop FROM _kh_v{k}"
 
 
+def link_prediction(
+    edges: DataFrame,
+    max_center_degree: int | None = None,
+    exclude_existing: bool = True,
+    min_common: int = 1,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected {i, j} edge
+    set: for each node pair {a, b} (a < b), the number of shared
+    neighbors and the neighborhood Jaccard coefficient
+    ``common / (deg_a + deg_b - common)`` — the classic "suggest this
+    missing KG edge" score (no libm: integer counts + one IEEE division
+    + round, so the value is bit-stable across engines/partitionings,
+    same policy as co_occurrence_lift).
+
+    Plan shape: wedge enumeration is ONE equi self-join of the
+    symmetric edge list on the shared-neighbor key, then a groupBy on
+    the pair — the shuffles a node-bucketed edge table already
+    satisfies. A hub center of degree d emits d·(d-1)/2 wedges (the
+    quadratic skew risk of any wedge join); ``max_center_degree`` is
+    the explicit hot-center guard — wedges through centers above the
+    cap are skipped, mirrored exactly in the DuckDB oracle (the same
+    guard discipline as the LSH ``max_bucket``). Degrees in the
+    Jaccard denominator stay UNcapped (the cap limits enumeration
+    cost, not the score definition). ``exclude_existing`` anti-joins
+    pairs already connected — prediction proposes NEW edges.
+    """
+    # e feeds the degree marginal, both wedge sides, and the anti join —
+    # cut it so the edge derivation runs once
+    e = _cut(_sym_weighted(edges).select("src", "dst"), checkpoint)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    centers = _cut(deg.withColumnRenamed("src", "node"), checkpoint)
+    ok = e
+    if max_center_degree is not None:
+        ok = _cut(
+            e.join(F.broadcast(centers), e["src"] == centers["node"])
+            .filter(F.col("deg") <= max_center_degree)
+            .select("src", "dst"),
+            checkpoint,
+        )
+    w1 = ok.select(F.col("src").alias("n"), F.col("dst").alias("a"))
+    w2 = ok.select(F.col("src").alias("n2"), F.col("dst").alias("b"))
+    pairs = (
+        w1.join(w2, (F.col("n") == F.col("n2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    if exclude_existing:
+        pairs = pairs.join(
+            e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+    return (
+        pairs.join(
+            F.broadcast(centers.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))), "a"
+        )
+        .join(
+            F.broadcast(centers.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))), "b"
+        )
+        .select(
+            "a",
+            "b",
+            "common",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def link_prediction_sql(
+    edges_rel: str,
+    max_center_degree: int | None = None,
+    exclude_existing: bool = True,
+    min_common: int = 1,
+) -> str:
+    """DuckDB twin of :func:`link_prediction` (same wedge-center cap)."""
+    cap = (
+        f"JOIN _lp_deg cd ON e.src = cd.node AND cd.deg <= {max_center_degree}"
+        if max_center_degree is not None
+        else ""
+    )
+    anti = (
+        "WHERE NOT EXISTS (SELECT 1 FROM _lp_e x WHERE x.src = w.a AND x.dst = w.b)"
+        if exclude_existing
+        else ""
+    )
+    return f"""WITH _lp_raw AS ({edges_rel}),
+        _lp_e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT i AS src, j AS dst FROM _lp_raw WHERE i <> j
+            UNION ALL
+            SELECT j AS src, i AS dst FROM _lp_raw WHERE i <> j
+          )
+        ),
+        _lp_deg AS (SELECT src AS node, count(*) AS deg FROM _lp_e GROUP BY src),
+        _lp_ok AS (SELECT e.src, e.dst FROM _lp_e e {cap}),
+        _lp_w AS (
+          SELECT w1.dst AS a, w2.dst AS b, count(*) AS common
+          FROM _lp_ok w1 JOIN _lp_ok w2 ON w1.src = w2.src AND w1.dst < w2.dst
+          GROUP BY 1, 2
+          HAVING count(*) >= {min_common}
+        )
+        SELECT w.a, w.b, w.common, da.deg AS deg_a, db.deg AS deg_b,
+               round(w.common::DOUBLE / (da.deg + db.deg - w.common)::DOUBLE, 6) AS jaccard
+        FROM _lp_w w
+        JOIN _lp_deg da ON w.a = da.node
+        JOIN _lp_deg db ON w.b = db.node
+        {anti}"""
+
+
 def co_occurrence_lift(
-    doc_entity: DataFrame, min_pair_docs: int = 1
+    doc_entity: DataFrame, min_pair_docs: int = 1, checkpoint: bool = True
 ) -> DataFrame:
     """Association strength between entity pairs from a distinct
     (doc_id, entity) mention table: lift = n_docs * c_ab / (c_a * c_b).
@@ -319,7 +461,12 @@ def co_occurrence_lift(
     shuffles keyed the way a bucketed mention table already is. Entity
     marginals are a tiny aggregate broadcast onto the pair counts.
     """
-    de = doc_entity.select("doc_id", "entity").dropDuplicates(["doc_id", "entity"])
+    # de is counted once (n_docs action) and then referenced three times
+    # in the final job (marginal + both pair sides) — cut it
+    de = _cut(
+        doc_entity.select("doc_id", "entity").dropDuplicates(["doc_id", "entity"]),
+        checkpoint,
+    )
     n_docs = de.select("doc_id").distinct().count()
     marg = de.groupBy("entity").agg(F.count(F.lit(1)).alias("c"))
     a = de.select("doc_id", F.col("entity").alias("ea"))

@@ -111,6 +111,45 @@ def test_khop_saturation_is_stable(spark):
     assert sorted((r["node"], r["hop"]) for r in out) == [("a", 0), ("b", 1), ("c", 1)]
 
 
+# --------------------------------------------------------------------------- link prediction
+
+
+def test_link_prediction_square(spark):
+    # square a-b-c-d-a: non-adjacent diagonals (a,c) and (b,d) share both
+    # their neighbors -> common=2, jaccard = 2/(2+2-2) = 1.0
+    sq = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    rows = {(r["a"], r["b"]): r for r in G.link_prediction(_edges(spark, sq)).collect()}
+    assert set(rows) == {("a", "c"), ("b", "d")}
+    for r in rows.values():
+        assert r["common"] == 2 and r["jaccard"] == 1.0
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    # triangle: every candidate pair is already an edge -> empty unless
+    # exclude_existing=False, which then scores all three pairs
+    tri = [("a", "b"), ("b", "c"), ("a", "c")]
+    assert G.link_prediction(_edges(spark, tri)).count() == 0
+    out = G.link_prediction(_edges(spark, tri), exclude_existing=False).collect()
+    assert len(out) == 3
+    # each pair shares exactly the third node: jaccard = 1/(2+2-1)
+    assert all(r["common"] == 1 and r["jaccard"] == pytest.approx(1 / 3) for r in out)
+
+
+def test_link_prediction_center_cap_skips_hub_wedges(spark):
+    # hub h connects a,b,c (deg 3); a-b also share low-degree center m;
+    # h and m share {a, b}. cap=2 drops wedges CENTERED on h: (a,c) and
+    # (b,c) vanish, (a,b) loses its h-wedge (common 2 -> 1), and the
+    # jaccard DENOMINATOR still uses uncapped degrees
+    e = [("h", "a"), ("h", "b"), ("h", "c"), ("m", "a"), ("m", "b")]
+    uncapped = {(r["a"], r["b"]): r["common"] for r in G.link_prediction(_edges(spark, e)).collect()}
+    assert uncapped == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1, ("h", "m"): 2}
+    capped = {(r["a"], r["b"]): r for r in G.link_prediction(_edges(spark, e), max_center_degree=2).collect()}
+    assert set(capped) == {("a", "b"), ("h", "m")}
+    r = capped[("a", "b")]
+    assert r["common"] == 1 and r["deg_a"] == 2 and r["deg_b"] == 2
+    assert r["jaccard"] == pytest.approx(1 / 3)
+
+
 # --------------------------------------------------------------------------- co-occurrence lift
 
 

@@ -182,7 +182,7 @@ def test_triangle_counts_no_cartesian(spark):
     e = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "i string, j string"
     )
-    plan = P.formatted_plan(triangle_counts(e))
+    plan = P.formatted_plan(triangle_counts(e, checkpoint=False))
     assert "CartesianProduct" not in plan, plan
 
 
@@ -198,6 +198,22 @@ def test_khop_frontier_joins_no_cartesian(spark):
     plan = P.formatted_plan(khop_neighbors(e, ["a"], k=2, checkpoint=False))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_link_prediction_no_cartesian_and_broadcast_marginals(spark):
+    """The wedge join is an equi self-join on the shared-neighbor key and
+    the degree marginals are broadcast onto the pair counts — a
+    cartesian/BNLJ or a shuffled marginal join would not survive a
+    power-law graph."""
+    from entity_extractor_spark.operators.graph_algos import link_prediction
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], "i string, j string"
+    )
+    plan = P.formatted_plan(link_prediction(e, max_center_degree=8, checkpoint=False))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert P.has_broadcast_hash_join(plan), plan
 
 
 def test_heavy_hitters_recount_broadcasts_candidates(spark):

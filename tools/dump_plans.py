@@ -79,6 +79,12 @@ frontier side — it is orders of magnitude smaller than the edges), then a
 left-anti hash join against the visited set; never a cartesian/BNLJ. At scale
 the edge table is bucketed by src so every hop reuses that partitioning.
 Enforced by test_plans.py.""",
+    "link_prediction": """Common-neighbor link prediction (round 3). Wanted
+shape: ONE equi self-join of the symmetric edge list on the shared-neighbor
+key (wedge enumeration, hot centers dropped by the broadcast degree-cap
+filter), one HashAggregate pair on the (a, b) key, degree marginals
+BroadcastHashJoined onto the pair counts. No cartesian; Jaccard is pure
+codegen arithmetic. Enforced by test_plans.py.""",
 }
 
 
@@ -171,6 +177,12 @@ def main() -> None:
         F.explode(F.array_distinct(F.split(F.lower("text"), r"\\s+"))).alias("j"),
     )
     plans["khop_hop"] = khop_neighbors(word_e, ["spark"], k=1, checkpoint=False)
+
+    from entity_extractor_spark.operators.graph_algos import link_prediction
+
+    plans["link_prediction"] = link_prediction(
+        word_e, max_center_degree=12, min_common=2, checkpoint=False
+    )
 
     out = [
         "# PLANS — physical plans of the flagship stages",
