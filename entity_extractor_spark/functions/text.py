@@ -56,12 +56,28 @@ def char_window(text: Column, start: Column, end: Column, w: int = 50) -> Column
 
 
 def word_shingles(tokens: Column, n: int = 3) -> Column:
-    """Word n-gram shingles, space-joined; empty array when < n tokens."""
-    idx = F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1))
-    return F.when(
-        F.size(tokens) >= n,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
+    """Word n-gram shingles, space-joined; empty array when < n tokens.
+
+    Built as a zip_with reduction over the n shifted slices of the token
+    array, NOT as ``transform(sequence(...), i -> slice(tokens, i, n))``:
+    an expression referenced inside a higher-order-function lambda BODY is
+    re-evaluated once per array element, so when callers pass ``tokens``
+    as an unmaterialized expression (always ``tokenize(col)`` here — a
+    regexp_extract_all), the old form re-ran the regex once per shingle
+    position. zip_with's array arguments are evaluated once per ROW; the
+    lambda only touches its own arguments. Measured at sf0.1 local[32]:
+    shingle build 5.4 s -> 3.1 s, repetition_signals 13.9 s -> 6.0 s warm
+    (the remainder is the single-row-group scan of the small test file).
+    """
+    m = F.size(tokens) - F.lit(n - 1)
+    # slice length m >= 1 is guaranteed by the when-guard (CaseWhen only
+    # evaluates the branch it takes)
+    joined = F.slice(tokens, 1, m)
+    for k in range(1, n):
+        joined = F.zip_with(
+            joined, F.slice(tokens, k + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(F.size(tokens) >= n, joined).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles_sql(tokens_expr: str, n: int = 3) -> str:
