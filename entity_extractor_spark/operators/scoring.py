@@ -52,11 +52,20 @@ _NER_CATEGORY_RE = r"(?i)\b(software|tool|pipeline|package|model|algorithm|code)
 
 
 def keyword_hits(text: Column, keywords: list[str] | None = None) -> Column:
-    """Sorted keyword substring hits (F8). Array stays in codegen."""
+    """Sorted keyword substring hits (F8). Array stays in codegen.
+
+    The keyword list is a plan-time literal, so this unrolls to
+    ``array_compact(array(when(contains)...))`` instead of a
+    ``F.filter`` lambda: higher-order functions are interpreted and
+    re-evaluate lambda-BODY expressions (here ``lower(text)``) once per
+    element, while the unrolled form stays in whole-stage codegen where
+    subexpression elimination computes ``lower(text)`` once per row.
+    """
     kws = sorted(keywords or HEURISTIC_KEYWORDS)
-    arr = F.lit(kws)
     lowered = F.lower(text)
-    return F.filter(arr, lambda kw: lowered.contains(kw))
+    return F.array_compact(
+        F.array(*[F.when(lowered.contains(kw), F.lit(kw)) for kw in kws])
+    )
 
 
 def ner_signal(context: Column, surface: Column) -> Column:
