@@ -69,6 +69,7 @@ HEADLINE = [
     "pii_scrub",
     "khop_neighbors",
     "link_prediction",
+    "wav_decode",
 ]
 
 

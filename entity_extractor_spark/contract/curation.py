@@ -300,6 +300,16 @@ def q_multimodal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asset_metadata_report(attach_payloads(_load(spark, sf_dir, "documents")))
 
 
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round trip: text -> genuine RIFF/WAVE PCM16 container
+    (stdlib wave writer) -> stdlib wave decode -> typed audio features.
+    The oracle predicts every column independently from the text, so any
+    corruption in the encode/container/decode path hash-mismatches."""
+    from entity_extractor_spark.operators.multimodal import decode_wav, wav_payloads
+
+    return decode_wav(wav_payloads(_load(spark, sf_dir, "documents"))).orderBy("asset_id")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
@@ -321,6 +331,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_report": q_multimodal_report,
+    "wav_decode": q_wav_decode,
     "det_sample": q_det_sample,
     "dataset_split": q_dataset_split,
     "sequence_packing": q_sequence_packing,
@@ -547,6 +558,16 @@ def _ann_recall_lsh_sql() -> str:
         GROUP BY ex_k.query_id ORDER BY query_id"""
 
 
+def _wav_decode_oracle() -> str:
+    from entity_extractor_spark.operators.multimodal import decode_wav_expected_sql
+
+    return (
+        "SELECT * FROM "
+        + decode_wav_expected_sql("SELECT doc_id, text FROM documents")
+        + "\nORDER BY asset_id"
+    )
+
+
 def _oracles() -> dict[str, str]:
     norm = T.normalize_text_sql("text")
     shingles3 = f"list_distinct({T.word_shingles_sql(T.tokenize_sql('text'), 3)})"
@@ -738,6 +759,7 @@ def _oracles() -> dict[str, str]:
                    round(avg(n_bytes), 2) AS mean_bytes
             FROM a GROUP BY kind ORDER BY kind
         """,
+        "wav_decode": _wav_decode_oracle(),
         # pair graph = the minhash-LSH pipeline at DUP_CLUSTER_T (guard
         # mirrored), clusters = transitive closure (the recursive-CTE twin
         # of the pointer-jumping CC), representative = min doc_id

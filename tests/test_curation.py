@@ -323,6 +323,34 @@ def test_multimodal_roundtrip(spark):
         assert (r["n_frames"] == 1) == (r["kind"] == "image")
 
 
+def test_wav_codec_roundtrip_known_values(spark):
+    """REAL audio codec: a known string encodes to a genuine RIFF/WAVE
+    container whose stdlib-wave decode returns hand-computable features
+    (samples = utf-8 bytes, rms = exact integer isqrt of mean square)."""
+    import math
+
+    from entity_extractor_spark.operators.multimodal import (
+        WAV_RATE,
+        decode_wav,
+        wav_payloads,
+    )
+
+    text = "abc"
+    b = text.encode("utf-8")
+    expected_ss = sum(((x - 128) * 256) ** 2 for x in b)
+    docs = spark.createDataFrame([(7, text), (8, "")], "doc_id long, text string")
+    payloads = {r["asset_id"]: bytes(r["payload"]) for r in wav_payloads(docs).collect()}
+    # genuine RIFF/WAVE container bytes
+    assert payloads[7][:4] == b"RIFF" and payloads[7][8:12] == b"WAVE"
+    rows = {r["asset_id"]: r for r in decode_wav(wav_payloads(docs)).collect()}
+    r = rows[7]
+    assert (r["sample_rate"], r["n_channels"], r["sample_width"]) == (WAV_RATE, 1, 2)
+    assert r["n_samples"] == len(b)
+    assert r["rms"] == math.isqrt(expected_ss // len(b))
+    # empty payload: zero samples, zero rms, no crash
+    assert rows[8]["n_samples"] == 0 and rows[8]["rms"] == 0
+
+
 def test_multimodal_real_decode_is_stubbed(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(2)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):

@@ -216,6 +216,19 @@ def test_link_prediction_no_cartesian_and_broadcast_marginals(spark):
     assert P.has_broadcast_hash_join(plan), plan
 
 
+def test_wav_codec_chain_never_shuffles_payload(spark):
+    """The encode -> decode codec chain is two fused MapInPandas stages
+    over the scan — ZERO exchanges, so the binary payload never transits
+    a shuffle (the rule that keeps shuffle volume sane when payload >>
+    metadata)."""
+    from entity_extractor_spark.operators.multimodal import decode_wav, wav_payloads
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    plan = P.formatted_plan(decode_wav(wav_payloads(d)))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
 def test_heavy_hitters_recount_broadcasts_candidates(spark):
     """The exact recount must hash-join the exploded token stream against
     the BROADCAST candidate set (<= ceil(1/support) tokens per partition);
