@@ -166,7 +166,7 @@ WAV_RATE = 16_000
 WAV_PAYLOAD_SCHEMA = "asset_id long, payload binary"
 WAV_DECODED_SCHEMA = (
     "asset_id long, sample_rate int, n_channels int, sample_width int, "
-    "n_samples long, duration_ms long, rms long"
+    "n_samples long, duration_ms long, rms long, peak long, zero_cross long"
 )
 
 
@@ -228,14 +228,17 @@ def decode_wav(assets: DataFrame) -> DataFrame:
                     n = w.getnframes()
                     pcm = np.frombuffer(w.readframes(n), dtype="<i2").astype(np.int64)
                 rms = math.isqrt(int((pcm * pcm).sum()) // max(len(pcm), 1))
+                peak = int(np.abs(pcm).max()) if len(pcm) else 0
+                # sign flip of adjacent samples; 0 counts as non-negative
+                zc = int(((pcm[:-1] < 0) != (pcm[1:] < 0)).sum()) if len(pcm) > 1 else 0
                 rows.append(
-                    (int(aid), rate, nch, sw, int(n), int(n) * 1000 // rate, rms)
+                    (int(aid), rate, nch, sw, int(n), int(n) * 1000 // rate, rms, peak, zc)
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "asset_id", "sample_rate", "n_channels", "sample_width",
-                    "n_samples", "duration_ms", "rms",
+                    "n_samples", "duration_ms", "rms", "peak", "zero_cross",
                 ],
             )
 
@@ -251,9 +254,11 @@ def decode_wav_expected_sql(rel: str, id_col: str = "doc_id", text_col: str = "t
     ±1 adjustment (double sqrt can land one off a perfect square;
     the CASE repairs it so the value equals Python's math.isqrt)."""
     hv = "strpos('123456789ABCDEF', substring(hx, {k}, 1))"
-    byte_i = (
-        f"({hv.format(k='2*i-1')} * 16 + {hv.format(k='2*i')})"
-    )
+
+    def bv(idx: str) -> str:
+        return f"({hv.format(k=f'2*({idx})-1')} * 16 + {hv.format(k=f'2*({idx})')})"
+
+    byte_i, byte_j = bv("i"), bv("i+1")
     return f"""(
         WITH _wd_in AS (SELECT {id_col} AS asset_id, {text_col} AS t FROM ({rel})),
         _wd_b AS (
@@ -264,11 +269,16 @@ def decode_wav_expected_sql(rel: str, id_col: str = "doc_id", text_col: str = "t
           SELECT asset_id, nb,
                  CAST(coalesce(list_sum(list_transform(range(1, nb + 1),
                    i -> CAST(({byte_i} - 128) * 256 AS BIGINT)
-                        * CAST(({byte_i} - 128) * 256 AS BIGINT))), 0) AS BIGINT) AS ss
+                        * CAST(({byte_i} - 128) * 256 AS BIGINT))), 0) AS BIGINT) AS ss,
+                 CAST(coalesce(list_max(list_transform(range(1, nb + 1),
+                   i -> abs({byte_i} - 128))), 0) AS BIGINT) * 256 AS peak,
+                 CAST(coalesce(list_sum(list_transform(range(1, nb),
+                   i -> CASE WHEN ({byte_i} < 128) <> ({byte_j} < 128)
+                        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross
           FROM _wd_b
         ),
         _wd_r AS (
-          SELECT asset_id, nb, ss // greatest(nb, 1) AS ms,
+          SELECT asset_id, nb, peak, zero_cross, ss // greatest(nb, 1) AS ms,
                  CAST(floor(sqrt((ss // greatest(nb, 1))::DOUBLE)) AS BIGINT) AS s0
           FROM _wd_sq
         )
@@ -277,7 +287,8 @@ def decode_wav_expected_sql(rel: str, id_col: str = "doc_id", text_col: str = "t
                CAST(nb AS BIGINT) * 1000 // {WAV_RATE} AS duration_ms,
                CASE WHEN (s0 + 1) * (s0 + 1) <= ms THEN s0 + 1
                     WHEN s0 * s0 > ms THEN s0 - 1
-                    ELSE s0 END AS rms
+                    ELSE s0 END AS rms,
+               peak, zero_cross
         FROM _wd_r
     )"""
 

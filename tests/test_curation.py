@@ -347,8 +347,18 @@ def test_wav_codec_roundtrip_known_values(spark):
     assert (r["sample_rate"], r["n_channels"], r["sample_width"]) == (WAV_RATE, 1, 2)
     assert r["n_samples"] == len(b)
     assert r["rms"] == math.isqrt(expected_ss // len(b))
-    # empty payload: zero samples, zero rms, no crash
+    # 'abc' bytes 97/98/99 are all < 128: max |b-128| = 31, no sign flip
+    assert r["peak"] == 31 * 256
+    assert r["zero_cross"] == 0
+    # 'aXa' with X > 127 flips sign twice: a(97) -> é(233 as latin? use
+    # a 2-byte utf-8 char: 'aéa' bytes 97, 195, 169, 97 -> flips at
+    # 97->195 and 169->97 (195,169 both >= 128, no flip between them)
+    docs2 = spark.createDataFrame([(9, "aéa")], "doc_id long, text string")
+    r9 = decode_wav(wav_payloads(docs2)).collect()[0]
+    assert r9["n_samples"] == 4 and r9["zero_cross"] == 2
+    # empty payload: zero samples, zero rms/peak/crossings, no crash
     assert rows[8]["n_samples"] == 0 and rows[8]["rms"] == 0
+    assert rows[8]["peak"] == 0 and rows[8]["zero_cross"] == 0
 
 
 def test_multimodal_real_decode_is_stubbed(spark):
