@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from entity_extractor_spark.streaming.incremental import TRANSCRIPT_SCHEMA  # noqa: F401
 from entity_extractor_spark.streaming.stateful import (
+    dedup_stream,
     sessionize_stream,
     windowed_event_counts,
 )
@@ -142,6 +143,47 @@ def test_sessionize_stream_late_event_merges_split_sessions(spark, tmp_path):
         for r in spark.read.parquet(outp).collect()
     }
     assert rows == {(0, 2000, 3)}, rows
+
+
+def test_dedup_stream_across_batches_and_restart(spark, tmp_path):
+    """Streaming dedup: duplicates within the watermark are dropped
+    across micro-batches AND across a checkpoint restart (the dedup
+    state lives in the checkpoint, mirroring the batch UNIQUE
+    semantics)."""
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    outp = str(tmp_path / "out")
+
+    def build(path):
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+        return dedup_stream(stream, ["user_id"], ts="ts", watermark="10 minutes")
+
+    # wave 1: user 1 twice (intra-batch dup), user 2 once
+    _write_wave(
+        spark,
+        inp,
+        [
+            (1, "2026-01-01 10:00:00"),
+            (1, "2026-01-01 10:00:30"),
+            (2, "2026-01-01 10:01:00"),
+        ],
+    )
+    _drain(build, inp, ckpt, outp)
+    # wave 2 — a NEW query from the same checkpoint (restart): user 1
+    # again within the watermark (must be dropped from persisted state),
+    # user 3 new (must pass)
+    _write_wave(
+        spark,
+        inp,
+        [
+            (1, "2026-01-01 10:02:00"),
+            (3, "2026-01-01 10:02:00"),
+        ],
+    )
+    _drain(build, inp, ckpt, outp)
+    got = spark.read.parquet(outp).groupBy("user_id").count().collect()
+    counts = {r["user_id"]: r["count"] for r in got}
+    assert counts == {1: 1, 2: 1, 3: 1}
 
 
 def test_windowed_event_counts_watermark(spark, tmp_path):
