@@ -87,7 +87,15 @@ def word_shingles_sql(tokens_expr: str, n: int = 3) -> str:
 
 def sliding_chunks(tokens: Column, size: int, overlap: int) -> Column:
     """F10: fixed-size word chunks with overlap (`app.py:175-187`,
-    `oeg_ner.py:13-22`): starts at 0, step = size - overlap."""
+    `oeg_ner.py:13-22`): starts at 0, step = size - overlap.
+
+    NOTE: ``tokens`` is sliced inside the transform lambda, which
+    re-evaluates lambda-body expressions once per chunk — pass a
+    MATERIALIZED column (alias the tokenize expression in its own
+    projection first), not a raw ``tokenize(col)`` expression. See
+    :func:`word_shingles` for the structural fix where the window is
+    fixed-width; here the chunk width makes the zip_with form
+    impractical, so the contract sits with the caller."""
     step = size - overlap
     starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tokens) - F.lit(overlap)), F.lit(step))
     return F.transform(starts, lambda s: F.concat_ws(" ", F.slice(tokens, s, size)))
