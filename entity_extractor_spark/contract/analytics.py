@@ -86,36 +86,42 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_counts(_word_edges(spark, sf_dir)).orderBy("node")
 
 
-def q_co_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _load(spark, sf_dir, "documents")
-    ent = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.array_intersect(
-                    F.array_distinct(T.tokenize(F.col("text"))),
-                    F.lit(sorted(CO_LIFT_ENTITIES)),
-                )
-            ).alias("entity"),
-        )
-    )
-    return G.co_occurrence_lift(ent).orderBy("ea", "eb")
-
-
-def _doc_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bipartite doc <-> entity edges ('doc:<id>', entity token) — the
-    mention graph k-hop traverses: hop 1 from an entity = the documents
-    containing it, hop 2 = its co-mentioned entities, hop 3 = their
-    documents."""
+def _entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, entity) — one row per entity from CO_LIFT_ENTITIES
+    present in a document. THE shared mention derivation: co_lift,
+    khop_neighbors, and link_prediction all build on this frame (and on
+    its SQL twin), so the entity-mention definition lives exactly once."""
     d = _load(spark, sf_dir, "documents")
     return d.select(
-        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("i"),
+        "doc_id",
         F.explode(
             F.array_intersect(
                 F.array_distinct(T.tokenize(F.col("text"))),
                 F.lit(sorted(CO_LIFT_ENTITIES)),
             )
-        ).alias("j"),
+        ).alias("entity"),
+    )
+
+
+def _entity_mentions_sql() -> str:
+    toks = T.tokenize_sql("text")
+    ent_lits = ", ".join(f"'{e}'" for e in sorted(CO_LIFT_ENTITIES))
+    return f"""SELECT doc_id, unnest(list_intersect(list_distinct({toks}), [{ent_lits}])) AS entity
+        FROM documents"""
+
+
+def q_co_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.co_occurrence_lift(_entity_mentions(spark, sf_dir)).orderBy("ea", "eb")
+
+
+def _doc_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite doc <-> entity edges ('doc:<id>', entity token) over the
+    shared :func:`_entity_mentions` frame — the mention graph k-hop
+    traverses: hop 1 from an entity = the documents containing it, hop 2
+    = its co-mentioned entities, hop 3 = their documents."""
+    return _entity_mentions(spark, sf_dir).select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("i"),
+        F.col("entity").alias("j"),
     )
 
 
@@ -182,12 +188,9 @@ QUERIES = {
 def _oracles() -> dict[str, str]:
     edges = _word_edges_sql()
     toks = T.tokenize_sql("text")
-    ent_lits = ", ".join(f"'{e}'" for e in sorted(CO_LIFT_ENTITIES))
-    co_rel = f"""SELECT doc_id, unnest(list_intersect(list_distinct({toks}), [{ent_lits}])) AS entity
-        FROM documents"""
-    khop_rel = f"""SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS i,
-            unnest(list_intersect(list_distinct({toks}), [{ent_lits}])) AS j
-        FROM documents"""
+    co_rel = _entity_mentions_sql()
+    khop_rel = f"""SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS i, entity AS j
+        FROM ({_entity_mentions_sql()})"""
     kmv_rel = f"""SELECT lang AS grp,
             unnest({T.word_shingles_sql('ts', KMV_SHINGLE_N)}) AS val
         FROM (SELECT lang, {toks} AS ts FROM documents)"""

@@ -269,17 +269,10 @@ def q_span_find(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10: 20-word chunks, 5-word overlap; per-chunk token count + head."""
     d = _load(spark, sf_dir, "documents")
-    # materialize the token array in its own projection: sliding_chunks
-    # slices `tokens` inside a transform lambda, and a lambda-BODY
-    # expression re-evaluates per element — an attribute reference is
-    # cheap, an inlined regexp_extract_all is once-per-chunk (see
-    # functions/text.py:word_shingles for the same trap, fixed there
-    # structurally)
-    toked = d.select(
-        "doc_id", T.tokenize(F.col("text"), lowered=False).alias("_toks")
-    )
-    chunks = T.sliding_chunks(F.col("_toks"), CHUNK_SIZE, CHUNK_OVERLAP)
-    e = toked.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    # safe to inline the tokenize expression: sliding_chunks binds its
+    # token argument structurally (one evaluation per row, not per chunk)
+    chunks = T.sliding_chunks(T.tokenize(F.col("text"), lowered=False), CHUNK_SIZE, CHUNK_OVERLAP)
+    e = d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
     return e.select(
         "doc_id",
         "chunk_idx",

@@ -89,16 +89,22 @@ def sliding_chunks(tokens: Column, size: int, overlap: int) -> Column:
     """F10: fixed-size word chunks with overlap (`app.py:175-187`,
     `oeg_ner.py:13-22`): starts at 0, step = size - overlap.
 
-    NOTE: ``tokens`` is sliced inside the transform lambda, which
-    re-evaluates lambda-body expressions once per chunk — pass a
-    MATERIALIZED column (alias the tokenize expression in its own
-    projection first), not a raw ``tokenize(col)`` expression. See
-    :func:`word_shingles` for the structural fix where the window is
-    fixed-width; here the chunk width makes the zip_with form
-    impractical, so the contract sits with the caller."""
+    Structurally safe against the lambda-body re-evaluation trap (see
+    :func:`word_shingles`): the whole computation is wrapped in a
+    transform over a ONE-element array holding ``tokens``, so the token
+    expression is a higher-order-function ARGUMENT (evaluated once per
+    row) and the inner slicing only ever references the outer lambda's
+    variable — callers may pass a raw ``tokenize(col)`` expression
+    without paying one regex evaluation per chunk."""
     step = size - overlap
-    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tokens) - F.lit(overlap)), F.lit(step))
-    return F.transform(starts, lambda s: F.concat_ws(" ", F.slice(tokens, s, size)))
+
+    def chunks_of(t: Column) -> Column:
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.lit(1), F.size(t) - F.lit(overlap)), F.lit(step)
+        )
+        return F.transform(starts, lambda s: F.concat_ws(" ", F.slice(t, s, size)))
+
+    return F.get(F.transform(F.array(tokens), chunks_of), F.lit(0))
 
 
 def truncate_ellipsis(text: Column, n: int = 100) -> Column:

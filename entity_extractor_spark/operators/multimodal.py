@@ -193,7 +193,10 @@ def wav_payloads(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
                     w.setnchannels(1)
                     w.setsampwidth(2)
                     w.setframerate(WAV_RATE)
-                    w.writeframes(samples.tobytes())
+                    # explicit little-endian: WAV mandates it and decode_wav
+                    # reads '<i2' — native-endian tobytes() would emit an
+                    # invalid container on a big-endian host
+                    w.writeframes(samples.astype("<i2").tobytes())
                 rows.append((int(aid), buf.getvalue()))
             yield pd.DataFrame(rows, columns=["asset_id", "payload"])
 
@@ -260,7 +263,9 @@ def decode_wav_expected_sql(rel: str, id_col: str = "doc_id", text_col: str = "t
 
     byte_i, byte_j = bv("i"), bv("i+1")
     return f"""(
-        WITH _wd_in AS (SELECT {id_col} AS asset_id, {text_col} AS t FROM ({rel})),
+        WITH _wd_in AS (
+          SELECT {id_col} AS asset_id, coalesce({text_col}, '') AS t FROM ({rel})
+        ),
         _wd_b AS (
           SELECT asset_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS nb
           FROM _wd_in

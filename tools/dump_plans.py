@@ -172,9 +172,11 @@ def main() -> None:
 
     from entity_extractor_spark.operators.graph_algos import khop_neighbors
 
+    from entity_extractor_spark.functions import text as T
+
     word_e = docs.select(
         F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("i"),
-        F.explode(F.array_distinct(F.split(F.lower("text"), r"\\s+"))).alias("j"),
+        F.explode(F.array_distinct(T.tokenize(F.col("text")))).alias("j"),
     )
     plans["khop_hop"] = khop_neighbors(word_e, ["spark"], k=1, checkpoint=False)
 
