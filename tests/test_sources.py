@@ -76,3 +76,46 @@ def test_sql_surface_over_materialized_tables(spark):
         """
     )
     assert joined.count() >= 1
+
+
+def test_range_clustered_layout_is_prunable(spark, tmp_path):
+    """write_range_clustered must produce files whose doc_id footer
+    ranges are pairwise DISJOINT (verified from the real parquet
+    metadata) — the property that lets min/max stats skip whole files
+    for a range predicate — and a point filter must reach the scan as a
+    pushed filter."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from entity_extractor_spark.io.sinks import write_range_clustered
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "clustered")
+    write_range_clustered(d, out, ["doc_id"], n_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    assert len(ranges) >= 2  # the range partitioner actually split
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next, f"overlapping file ranges: {ranges}"
+
+    plan = (
+        spark.read.parquet(out)
+        .filter("doc_id = 7")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in plan, plan
