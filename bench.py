@@ -70,6 +70,7 @@ HEADLINE = [
     "khop_neighbors",
     "link_prediction",
     "wav_decode",
+    "fuzzy_name_pairs",
 ]
 
 

@@ -146,6 +146,18 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-neighborhood fuzzy match over customer names; the oracle
+    is the NAIVE quadratic levenshtein join (ground truth), so the hash
+    match proves the blocking loses no pair."""
+    from entity_extractor_spark.operators.canonicalize import fuzzy_alias_pairs
+
+    c = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    return fuzzy_alias_pairs(c).orderBy("id_a", "id_b")
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     exploded = d.select(
@@ -178,6 +190,7 @@ QUERIES = {
     "co_lift": q_co_lift,
     "khop_neighbors": q_khop_neighbors,
     "link_prediction": q_link_prediction,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "kmv_distinct": q_kmv_distinct,
     "heavy_hitters": q_heavy_hitters,
     "ann_sq8_topk": q_ann_sq8_topk,
@@ -233,6 +246,13 @@ def _oracles() -> dict[str, str]:
             min_common=LINKPRED_MIN_COMMON,
         )
         + "\nORDER BY a, b",
+        "fuzzy_name_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   a.c_name AS name_a, b.c_name AS name_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY id_a, id_b""",
         "kmv_distinct": kmv_distinct_sql(kmv_rel, "lang") + "\nORDER BY lang",
         "heavy_hitters": heavy_hitters_sql("documents"),
         "ann_sq8_topk": sq8_cte,

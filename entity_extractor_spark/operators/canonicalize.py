@@ -104,6 +104,65 @@ def connected_components(
     return labels.withColumnRenamed("label", "component")
 
 
+def fuzzy_alias_pairs(
+    names: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    max_block: int | None = None,
+) -> DataFrame:
+    """All name pairs within Levenshtein distance 1 — the fuzzy seed for
+    alias-edge generation (typos, singular/plural, off-by-one ids) that
+    :func:`alias_edges`'s exact colon-split rule cannot catch.
+
+    SymSpell-style deletion-neighborhood blocking instead of the naive
+    all-pairs scan: every name emits its identity plus each
+    single-character deletion as a variant key; two names with edit
+    distance <= 1 ALWAYS share a variant (deletion/insertion: one IS a
+    variant of the other; substitution: both contain the string with the
+    differing position removed), so an equi self-join on the variant key
+    finds every candidate with zero recall loss and no cross join —
+    len+1 keys per name, the blocking that scales to 10^9 names where
+    the O(n²) scan cannot. Candidates are deduped, then verified with
+    the built-in ``levenshtein`` (whole-stage codegen; DuckDB has the
+    identical function, so the ground-truth oracle is the naive
+    quadratic join and the hash match PROVES the blocking loses no
+    pair). ``max_block`` optionally drops variant keys shared by more
+    than that many names (hot-block guard for short-name corpora, same
+    discipline as the LSH ``max_bucket``) — off by default because it
+    trades completeness; leave it off when the oracle is ground truth.
+    """
+    s = F.col(name_col)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(s.substr(F.lit(1), i - 1), s.substr(i + 1, F.length(s))),
+    )
+    v = names.select(
+        F.col(id_col).alias("_id"),
+        s.alias("_nm"),
+        F.explode(F.array_distinct(F.array_union(F.array(s), dels))).alias("v"),
+    )
+    if max_block is not None:
+        big = v.groupBy("v").agg(F.count(F.lit(1)).alias("c")).filter(
+            F.col("c") > max_block
+        )
+        v = v.join(F.broadcast(big.select("v")), "v", "left_anti")
+    a = v.select(F.col("_id").alias("id_a"), F.col("_nm").alias("name_a"), "v")
+    b = v.select(F.col("_id").alias("id_b"), F.col("_nm").alias("name_b"), "v")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("name_a", "name_b") <= 1).select(
+        "id_a",
+        "id_b",
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    )
+
+
 def alias_edges(gazetteer: DataFrame) -> DataFrame:
     """Gazetteer -> undirected alias edges on normalized surface strings.
 

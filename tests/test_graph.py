@@ -221,3 +221,35 @@ def test_salted_collect_list_matches_plain(spark):
     assert got == exp
     # arrays come out sorted (the property that makes the merge associative)
     assert all(v == sorted(v) for v in got.values())
+
+
+def test_fuzzy_alias_pairs_edit_classes(spark):
+    """Deletion-neighborhood blocking finds all three ed-1 edit classes
+    (deletion, insertion, substitution), rejects ed-2, and the hot-block
+    guard drops pairs only when enabled."""
+    from entity_extractor_spark.operators.canonicalize import fuzzy_alias_pairs
+
+    names = spark.createDataFrame(
+        [
+            (1, "spark"),   # vs spark_ (insertion), spark->spak (deletion)
+            (2, "spak"),    # deletion of 'r'
+            (3, "sparks"),  # insertion of 's'
+            (4, "snark"),   # substitution p->n... ed("spark","snark")=1
+            (5, "zzzzz"),   # unrelated
+            (6, "spark"),   # exact duplicate (ed 0)
+        ],
+        "id long, name string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_alias_pairs(names).collect()
+    }
+    assert out[(1, 2)] == 1  # deletion
+    assert out[(1, 3)] == 1  # insertion
+    assert out[(1, 4)] == 1  # substitution
+    assert out[(1, 6)] == 0  # exact dup
+    assert (2, 3) not in out  # ed("spak","sparks")=2
+    assert not any(5 in k for k in out)
+    # guard: with max_block=1 every shared variant block is dropped
+    from entity_extractor_spark.operators.canonicalize import fuzzy_alias_pairs as fap
+    assert fap(names, max_block=1).count() == 0

@@ -216,6 +216,20 @@ def test_link_prediction_no_cartesian_and_broadcast_marginals(spark):
     assert P.has_broadcast_hash_join(plan), plan
 
 
+def test_fuzzy_pairs_blocked_join_no_cartesian(spark):
+    """The deletion-neighborhood join must be an equi join on the
+    variant key — the entire point of the blocking is avoiding the
+    O(n²) cartesian levenshtein scan the oracle runs."""
+    from entity_extractor_spark.operators.canonicalize import fuzzy_alias_pairs
+
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    plan = P.formatted_plan(fuzzy_alias_pairs(c))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_wav_codec_chain_never_shuffles_payload(spark):
     """The encode -> decode codec chain is two fused MapInPandas stages
     over the scan — ZERO exchanges, so the binary payload never transits
