@@ -71,6 +71,7 @@ HEADLINE = [
     "link_prediction",
     "wav_decode",
     "fuzzy_name_pairs",
+    "indexed_search",
 ]
 
 

@@ -332,6 +332,25 @@ def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 at scale: the same case-insensitive substring query routed
+    through the char-trigram posting index (operators/search.py); the
+    oracle is the ground-truth naive scan, so the hash match proves the
+    index path returns the identical result set."""
+    from entity_extractor_spark.operators.search import (
+        build_gram_postings,
+        indexed_substring_search,
+    )
+
+    d = _load(spark, sf_dir, "documents")
+    idx = build_gram_postings(d)
+    return (
+        indexed_substring_search(d, "hash join", postings=idx)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_facet_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/P8: conjunctive isin facets + non-empty props."""
     ev = _load(spark, sf_dir, "events")
@@ -819,6 +838,7 @@ QUERIES = {
     "autocomplete_rank": q_autocomplete_rank,
     "patch_append": q_patch_append,
     "substring_search": q_substring_search,
+    "indexed_search": q_indexed_search,
     "facet_filter": q_facet_filter,
     "likelihood_filter": q_likelihood_filter,
     "cc_components": q_cc_components,
@@ -1230,6 +1250,11 @@ def _oracles() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_docs FROM documents
             WHERE contains(lower(text), 'hash join')
             GROUP BY lang ORDER BY lang
+        """,
+        "indexed_search": """
+            SELECT doc_id, lang FROM documents
+            WHERE contains(lower(text), 'hash join')
+            ORDER BY doc_id
         """,
         "facet_filter": f"""
             SELECT event_type, COUNT(*) AS n FROM events

@@ -216,6 +216,22 @@ def test_link_prediction_no_cartesian_and_broadcast_marginals(spark):
     assert P.has_broadcast_hash_join(plan), plan
 
 
+def test_indexed_search_reads_postings_not_full_text(spark):
+    """The index access path must filter the posting table on the query's
+    grams BEFORE any aggregation (pushed to the posting scan) and attach
+    candidates via a semi join — never a cartesian."""
+    from entity_extractor_spark.operators.search import (
+        build_gram_postings,
+        indexed_substring_search,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = P.formatted_plan(indexed_substring_search(d, "hash join", postings=build_gram_postings(d)))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "gram" in plan and "isnotnull" in plan.lower(), plan
+
+
 def test_fuzzy_pairs_blocked_join_no_cartesian(spark):
     """The deletion-neighborhood join must be an equi join on the
     variant key — the entire point of the blocking is avoiding the

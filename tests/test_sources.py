@@ -119,3 +119,38 @@ def test_range_clustered_layout_is_prunable(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in plan, plan
+
+
+def test_indexed_search_equals_naive_scan(spark):
+    """The gram index is a pruner only: result set must equal the naive
+    contains scan, including case folding, dedup'd query grams, and
+    boundary matches."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_spark.operators.search import (
+        build_gram_postings,
+        indexed_substring_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HASH JOIN strategies"),       # case-folded hit
+            (2, "hash joins and more"),        # hit inside a longer word
+            (3, "hash, join"),                 # grams present, phrase absent
+            (4, "aaaa"),                       # repeated-gram probe target
+            (5, "aaab"),                       # shares gram 'aaa', not 'aaaa'
+            (6, None),                         # null text must not crash
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_gram_postings(docs)
+    for q in ("hash join", "aaaa", "AAAB"):
+        via_index = {
+            r["doc_id"]
+            for r in indexed_substring_search(docs, q, postings=idx).collect()
+        }
+        naive = {
+            r["doc_id"]
+            for r in docs.filter(F.lower(F.col("text")).contains(q.lower())).collect()
+        }
+        assert via_index == naive, (q, via_index, naive)
