@@ -390,6 +390,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries after the window are covered every round by the local replica
 # (tests/test_entry_oracle.py, dtype-sensitive); their cumulative driver
 # history is tabulated in README.md §Correctness-window rotation.
+# ROUND-4 ROTATION PLAN: link_prediction, wav_decode, fuzzy_name_pairs,
+# indexed_search (added after the round-3 window froze; local-replica
+# green at sf0.001 + sf0.01) rotate IN; rotate out four keys green in
+# BOTH r02 and r03 once CORRECTNESS_r03.json lands.
 PRIORITY_KEYS = [
     # core SURVEY §2 set (round-1 gap: no driver row); value_counts /
     # bool_sum / union_distinct went green in r02 and rotate out for the
