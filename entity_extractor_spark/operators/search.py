@@ -32,12 +32,19 @@ def char_ngrams(col_name: str, n: int = NGRAM_N) -> F.Column:
     applied per gram, post-slice, where it touches n chars, not the
     document."""
     t = F.col(col_name)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.lit(0), F.length(t) - F.lit(n - 1))),
-            lambda i: F.lower(t.substr(i, F.lit(n))),
-        )
-    )
+    # Guard texts shorter than n explicitly: Spark's sequence(1, 0) is
+    # DESCENDING [1, 0] (auto step -1), which would emit junk sub-n grams
+    # ('' for empty text, the whole text for len < n) into the posting
+    # table instead of no grams at all.
+    return F.when(
+        F.length(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - F.lit(n - 1)),
+                lambda i: F.lower(t.substr(i, F.lit(n))),
+            )
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
 
 
 def build_gram_postings(

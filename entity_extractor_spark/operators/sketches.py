@@ -66,17 +66,21 @@ def kmv_distinct(
     dv = df.select(F.col(group_col).alias("grp"), vc.alias("val")).dropDuplicates(
         ["grp", "val"]
     )
+    # n_exact counts distinct VALUES (pre-hash) — counting distinct hashes
+    # instead would silently undercount on a 60-bit prefix collision, and
+    # both engines would agree on the wrong number.
+    n_ex = dv.groupBy("grp").agg(F.count(F.lit(1)).alias("n_exact"))
     hashed = dv.select("grp", _hval(F.col("val")).alias("h")).dropDuplicates(["grp", "h"])
     w = Window.partitionBy("grp").orderBy("h")
     ranked = hashed.withColumn("r", F.row_number().over(w))
     agg = ranked.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_exact"),
+        F.count(F.lit(1)).alias("n_hash"),
         F.max(F.when(F.col("r") == k, F.col("h"))).alias("hk"),
     )
     est = F.when(
-        F.col("n_exact") <= k, F.col("n_exact").cast("double")
+        F.col("n_hash") <= k, F.col("n_hash").cast("double")
     ).otherwise(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("hk").cast("double"))
-    return agg.select(
+    return agg.join(n_ex, "grp").select(
         F.col("grp").alias(group_col),
         F.col("n_exact"),
         F.round(est, 4).alias("kmv_estimate"),
@@ -121,7 +125,11 @@ def heavy_hitters(
     from entity_extractor_spark.functions.text import TOKEN_RE
 
     k = math.ceil(1.0 / support)
-    tok_re = _re.compile(TOKEN_RE)
+    # re.ASCII: Python's \w is Unicode-aware while the Java-regex explode
+    # in the recount and the RE2 oracle tokenize ASCII-only; without it
+    # the MG candidate pass tokenizes DIFFERENT units on non-ASCII text
+    # and the superset guarantee (hence exactness) silently breaks.
+    tok_re = _re.compile(TOKEN_RE, _re.ASCII)
 
     def _mg_partition(batches):
         counts: dict[str, int] = {}
@@ -192,14 +200,15 @@ def kmv_distinct_sql(rel: str, group_col: str, k: int = KMV_K) -> str:
     """DuckDB twin of :func:`kmv_distinct`; ``rel`` must yield columns
     ``grp`` and ``val`` (pre-exploded)."""
     return f"""WITH _kmv_dv AS (SELECT DISTINCT grp, val FROM ({rel})),
+        _kmv_ne AS (SELECT grp, count(*) AS n_exact FROM _kmv_dv GROUP BY grp),
         _kmv_h AS (SELECT DISTINCT grp, {_hval_sql('val')} AS h FROM _kmv_dv),
         _kmv_r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM _kmv_h),
         _kmv_a AS (
-          SELECT grp, count(*) AS n_exact,
+          SELECT grp, count(*) AS n_hash,
                  max(CASE WHEN r = {k} THEN h END) AS hk
           FROM _kmv_r GROUP BY grp
         )
-        SELECT grp AS {group_col}, n_exact,
-               round(CASE WHEN n_exact <= {k} THEN n_exact::DOUBLE
-                          ELSE {float(k - 1)!r} * {_HASH_SPACE!r} / hk::DOUBLE END, 4) AS kmv_estimate
-        FROM _kmv_a"""
+        SELECT a.grp AS {group_col}, e.n_exact,
+               round(CASE WHEN a.n_hash <= {k} THEN a.n_hash::DOUBLE
+                          ELSE {float(k - 1)!r} * {_HASH_SPACE!r} / a.hk::DOUBLE END, 4) AS kmv_estimate
+        FROM _kmv_a a JOIN _kmv_ne e ON a.grp = e.grp"""

@@ -291,6 +291,21 @@ def test_heavy_hitters_exact_vs_naive(spark):
     assert any(t == "hot" for t, _ in got)
 
 
+def test_heavy_hitters_non_ascii_tokenization(spark):
+    """The Python MG candidate pass must tokenize like the JVM recount:
+    Java-regex \\w is ASCII, so 'naïve' explodes to ('na', 've'). A
+    Unicode-aware Python pass would keep 'naïve' as its candidate and the
+    recount join would return NOTHING — silently dropping true heavy
+    hitters on any non-ASCII corpus."""
+    from entity_extractor_spark.operators.sketches import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, "naïve naïve") for i in range(20)], "doc_id long, text string"
+    )
+    got = {(r["token"], r["cnt"]) for r in heavy_hitters(docs, support=0.4).collect()}
+    assert got == {("na", 40), ("ve", 40)}
+
+
 def test_heavy_hitters_partitioning_invariant(spark):
     from entity_extractor_spark.operators.sketches import heavy_hitters
 

@@ -121,6 +121,20 @@ def test_range_clustered_layout_is_prunable(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in plan, plan
 
 
+def test_char_ngrams_short_texts_emit_no_postings(spark):
+    """Texts shorter than n must contribute ZERO posting rows: Spark's
+    sequence(1, 0) is descending [1, 0], which (ungated) emits junk grams
+    ('' for empty text, the whole text for len < n)."""
+    from entity_extractor_spark.operators.search import build_gram_postings
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, None), (4, "abc")],
+        "doc_id long, text string",
+    )
+    rows = build_gram_postings(docs).collect()
+    assert {(r["doc_id"], r["gram"]) for r in rows} == {(4, "abc")}
+
+
 def test_indexed_search_equals_naive_scan(spark):
     """The gram index is a pruner only: result set must equal the naive
     contains scan, including case folding, dedup'd query grams, and
