@@ -310,6 +310,18 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_wav(wav_payloads(_load(spark, sf_dir, "documents"))).orderBy("asset_id")
 
 
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec round trip (the image twin of `wav_decode`):
+    text -> genuine 24-bit BMP container (pure struct/numpy writer,
+    bottom-up scanlines, 4-byte row padding) -> struct/numpy decode ->
+    exact integer pixel statistics. The oracle predicts every column
+    independently from the text, so any corruption in the
+    encode/container/decode path hash-mismatches."""
+    from entity_extractor_spark.operators.multimodal import bmp_payloads, decode_bmp
+
+    return decode_bmp(bmp_payloads(_load(spark, sf_dir, "documents"))).orderBy("asset_id")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
@@ -332,6 +344,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_report": q_multimodal_report,
     "wav_decode": q_wav_decode,
+    "bmp_decode": q_bmp_decode,
     "det_sample": q_det_sample,
     "dataset_split": q_dataset_split,
     "sequence_packing": q_sequence_packing,
@@ -568,6 +581,16 @@ def _wav_decode_oracle() -> str:
     )
 
 
+def _bmp_decode_oracle() -> str:
+    from entity_extractor_spark.operators.multimodal import decode_bmp_expected_sql
+
+    return (
+        "SELECT * FROM "
+        + decode_bmp_expected_sql("SELECT doc_id, text FROM documents")
+        + "\nORDER BY asset_id"
+    )
+
+
 def _oracles() -> dict[str, str]:
     norm = T.normalize_text_sql("text")
     shingles3 = f"list_distinct({T.word_shingles_sql(T.tokenize_sql('text'), 3)})"
@@ -760,6 +783,7 @@ def _oracles() -> dict[str, str]:
             FROM a GROUP BY kind ORDER BY kind
         """,
         "wav_decode": _wav_decode_oracle(),
+        "bmp_decode": _bmp_decode_oracle(),
         # pair graph = the minhash-LSH pipeline at DUP_CLUSTER_T (guard
         # mirrored), clusters = transitive closure (the recursive-CTE twin
         # of the pointer-jumping CC), representative = min doc_id
