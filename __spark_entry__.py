@@ -390,10 +390,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries after the window are covered every round by the local replica
 # (tests/test_entry_oracle.py, dtype-sensitive); their cumulative driver
 # history is tabulated in README.md §Correctness-window rotation.
-# ROUND-4 ROTATION PLAN: link_prediction, wav_decode, fuzzy_name_pairs,
-# indexed_search (added after the round-3 window froze; local-replica
-# green at sf0.001 + sf0.01) rotate IN; rotate out four keys green in
-# BOTH r02 and r03 once CORRECTNESS_r03.json lands.
+# ROUND-4 ROTATION (executed): link_prediction, wav_decode,
+# fuzzy_name_pairs, indexed_search (added after the round-3 window froze;
+# local-replica green at sf0.001 + sf0.01) rotate IN as planned, plus the
+# round-4 bmp_decode (real BMP image codec round trip). Rotating out,
+# each green in BOTH CORRECTNESS_r02.json and CORRECTNESS_r03.json:
+# semi_join, anti_join, except_keys, percent_of_total, stats. After this
+# window lands, every contract key has >=1 green driver row cumulatively.
 PRIORITY_KEYS = [
     # core SURVEY §2 set (round-1 gap: no driver row); value_counts /
     # bool_sum / union_distinct went green in r02 and rotate out for the
@@ -403,9 +406,9 @@ PRIORITY_KEYS = [
     # (round-3 addition, no driver history)
     "mention_counts", "mention_flags", "context_window", "exact_token_match",
     "keyword_hits", "composite_likelihood",
-    "topk_groups", "join_agg", "broadcast_join", "semi_join",
-    "anti_join", "window_lag", "window_topk", "except_keys",
-    "dedup_keys", "percent_of_total", "stats",
+    "topk_groups", "join_agg", "broadcast_join",
+    "window_lag", "window_topk",
+    "dedup_keys",
     # flagship KG keys that fell outside the round-1 window
     "cc_components", "graph_edges", "likelihood_filter", "predicate_triples",
     # round-2 fixes (previously hash-fail / rows-only / new)
@@ -432,6 +435,10 @@ PRIORITY_KEYS = [
     "dup_clusters", "repetition_signals", "heavy_hitters", "pii_scrub",
     # kernel / grouped / temporal flagships
     "conv_digest", "asof_join", "interval_join",
+    # round-4 rotation: first driver rows for the four post-r03-window
+    # additions plus the round-4 real image codec
+    "link_prediction", "wav_decode", "fuzzy_name_pairs", "indexed_search",
+    "bmp_decode",
 ]
 
 
