@@ -41,6 +41,10 @@ KHOP_K = 3
 # hundreds: capping wedge centers at 12 admits every document and skips
 # every entity hub — the guard that keeps the wedge join linear in docs
 LINKPRED_CENTER_CAP = 12
+# same discipline for co_lift's pair enumeration: a doc can mention at
+# most the 12 gazetteer entities, so the cap admits every doc here while
+# the guard (skip enumeration through mega-docs) sits in the plan
+CO_LIFT_DOC_CAP = 12
 LINKPRED_MIN_COMMON = 2
 # 4-gram overlap: at the fixture scale 5-grams almost never collide
 # (1 hit corpus-wide) while 3-grams flag ~30% of docs — 4 keeps the
@@ -111,7 +115,9 @@ def _entity_mentions_sql() -> str:
 
 
 def q_co_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.co_occurrence_lift(_entity_mentions(spark, sf_dir)).orderBy("ea", "eb")
+    return G.co_occurrence_lift(
+        _entity_mentions(spark, sf_dir), max_doc_entities=CO_LIFT_DOC_CAP
+    ).orderBy("ea", "eb")
 
 
 def _doc_entity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,7 +243,9 @@ def _oracles() -> dict[str, str]:
         "pagerank_tokens": G.pagerank_fixed_sql(edges)
         + "\nORDER BY rank_fp DESC, node",
         "graph_triangles": G.triangle_counts_sql(edges) + "\nORDER BY node",
-        "co_lift": co_occ_order(G.co_occurrence_lift_sql(co_rel)),
+        "co_lift": co_occ_order(
+            G.co_occurrence_lift_sql(co_rel, max_doc_entities=CO_LIFT_DOC_CAP)
+        ),
         "khop_neighbors": G.khop_neighbors_sql(khop_rel, KHOP_SEEDS, KHOP_K)
         + "\nORDER BY hop, node",
         "link_prediction": G.link_prediction_sql(

@@ -445,7 +445,10 @@ def link_prediction_sql(
 
 
 def co_occurrence_lift(
-    doc_entity: DataFrame, min_pair_docs: int = 1, checkpoint: bool = True
+    doc_entity: DataFrame,
+    min_pair_docs: int = 1,
+    max_doc_entities: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Association strength between entity pairs from a distinct
     (doc_id, entity) mention table: lift = n_docs * c_ab / (c_a * c_b).
@@ -460,6 +463,14 @@ def co_occurrence_lift(
     (i < j to emit each pair once), one groupBy on the pair — both
     shuffles keyed the way a bucketed mention table already is. Entity
     marginals are a tiny aggregate broadcast onto the pair counts.
+
+    ``max_doc_entities`` is the hot-doc guard (the wedge-join discipline
+    of ``link_prediction``'s ``max_center_degree``): a doc with d
+    distinct entities emits d(d-1)/2 pairs, so one mega-doc can dominate
+    the whole enumeration; docs above the cap are skipped at ENUMERATION
+    time (``min_pair_docs`` only filters output, after the damage).
+    Marginals and n_docs still count every doc, so admitted pairs keep
+    their exact lift.
     """
     # de is counted once (n_docs action) and then referenced three times
     # in the final job (marginal + both pair sides) — cut it
@@ -469,8 +480,17 @@ def co_occurrence_lift(
     )
     n_docs = de.select("doc_id").distinct().count()
     marg = de.groupBy("entity").agg(F.count(F.lit(1)).alias("c"))
-    a = de.select("doc_id", F.col("entity").alias("ea"))
-    b = de.select("doc_id", F.col("entity").alias("eb"))
+    enum = de
+    if max_doc_entities is not None:
+        ok = (
+            de.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") <= max_doc_entities)
+            .select("doc_id")
+        )
+        enum = de.join(ok, "doc_id", "left_semi")
+    a = enum.select("doc_id", F.col("entity").alias("ea"))
+    b = enum.select("doc_id", F.col("entity").alias("eb"))
     pairs = (
         a.join(b, "doc_id")
         .filter(F.col("ea") < F.col("eb"))
@@ -497,13 +517,25 @@ def co_occurrence_lift(
     return out
 
 
-def co_occurrence_lift_sql(doc_entity_rel: str, min_pair_docs: int = 1) -> str:
+def co_occurrence_lift_sql(
+    doc_entity_rel: str, min_pair_docs: int = 1, max_doc_entities: int | None = None
+) -> str:
+    ok = (
+        f"""_cl_ok AS (
+          SELECT e.doc_id, e.entity FROM _cl_de e
+          JOIN (SELECT doc_id FROM _cl_de GROUP BY doc_id
+                HAVING count(*) <= {max_doc_entities}) d USING (doc_id)
+        )"""
+        if max_doc_entities is not None
+        else "_cl_ok AS (SELECT doc_id, entity FROM _cl_de)"
+    )
     return f"""WITH _cl_de AS (SELECT DISTINCT doc_id, entity FROM ({doc_entity_rel})),
         _cl_n AS (SELECT count(DISTINCT doc_id) AS n FROM _cl_de),
         _cl_m AS (SELECT entity, count(*) AS c FROM _cl_de GROUP BY entity),
+        {ok},
         _cl_p AS (
           SELECT a.entity AS ea, b.entity AS eb, count(*) AS c_ab
-          FROM _cl_de a JOIN _cl_de b ON a.doc_id = b.doc_id AND a.entity < b.entity
+          FROM _cl_ok a JOIN _cl_ok b ON a.doc_id = b.doc_id AND a.entity < b.entity
           GROUP BY 1, 2
           HAVING count(*) >= {min_pair_docs}
         )

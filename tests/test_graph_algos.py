@@ -168,6 +168,48 @@ def test_co_lift_independence_and_association(spark):
     assert out[("x", "y")]["lift"] == pytest.approx(4 * 2 / (4 * 2))  # = 1.0
 
 
+def test_co_lift_hot_doc_cap_boundary(spark):
+    """max_doc_entities skips pair ENUMERATION through docs above the
+    cap (the last unguarded wedge join, round-3 verdict item 3) while
+    marginals and n_docs keep counting every doc. Boundary-exact: a doc
+    with exactly cap entities is admitted, cap+1 is skipped."""
+    rows = (
+        [(1, e) for e in ("a", "b", "c")]        # hot doc: 3 entities
+        + [(2, e) for e in ("a", "b")]           # at-cap doc: 2 entities
+        + [(3, "a"), (4, "c")]
+    )
+    de = spark.createDataFrame(rows, "doc_id long, entity string")
+
+    # cap 2: doc 1 (3 entities) is excluded from enumeration -> only
+    # doc 2's (a,b) pair survives; marginals still count doc 1
+    capped = {(r["ea"], r["eb"]): r for r in
+              G.co_occurrence_lift(de, max_doc_entities=2).collect()}
+    assert set(capped) == {("a", "b")}
+    r = capped[("a", "b")]
+    assert r["c_ab"] == 1                       # doc 2 only
+    assert r["c_a"] == 3 and r["c_b"] == 2      # marginals uncapped
+    assert r["lift"] == pytest.approx(4 * 1 / (3 * 2))
+
+    # cap 3 (= hot doc's entity count): boundary is inclusive — output
+    # identical to the unguarded run
+    full = {(r["ea"], r["eb"]): (r["c_ab"], r["lift"]) for r in
+            G.co_occurrence_lift(de).collect()}
+    at_cap = {(r["ea"], r["eb"]): (r["c_ab"], r["lift"]) for r in
+              G.co_occurrence_lift(de, max_doc_entities=3).collect()}
+    assert at_cap == full and ("a", "b") in full and ("b", "c") in full
+
+    # the SQL mirror applies the identical guard
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE de AS SELECT * FROM (VALUES "
+                + ", ".join(f"({d}, '{e}')" for d, e in rows)
+                + ") t(doc_id, entity)")
+    sql = G.co_occurrence_lift_sql("SELECT * FROM de", max_doc_entities=2)
+    got = {(a, b): (c, lift) for a, b, c, _, _, lift in con.execute(sql).fetchall()}
+    assert got == {("a", "b"): (1, pytest.approx(4 / 6))}
+
+
 # --------------------------------------------------------------------------- KMV sketch
 
 
