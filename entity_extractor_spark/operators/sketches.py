@@ -87,6 +87,88 @@ def kmv_distinct(
     )
 
 
+def kmv_partials(df: DataFrame, group_col: str, value_col, k: int = KMV_K) -> DataFrame:
+    """Per-partition KMV partial summaries: for each group, the k+1
+    smallest DISTINCT hash values seen in that partition, via a bounded
+    max-heap — a pure map stage whose state is at most k+1 longs per
+    (partition, group) regardless of input size. k+1 (not k) so the
+    merged sketch can distinguish \"exactly k distinct\" (lossless count)
+    from \"more than k\" (estimator kicks in) — which is what makes the
+    merged estimate bit-identical to :func:`kmv_distinct`'s.
+
+    This is the sketch side the docstring above promises at 100 TB: the
+    exchange after this stage carries <= (k+1) * n_partitions rows per
+    group, never the full distinct-value set."""
+    import heapq
+
+    import pandas as pd
+
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    hashed = df.select(F.col(group_col).alias("grp"), _hval(vc).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
+    cap = k + 1
+    grp_type = hashed.schema["grp"].dataType.simpleString()
+
+    def summarize(batches):
+        # per group: set of kept hashes + max-heap (negated) to evict the
+        # largest once the summary exceeds k+1 entries
+        kept: dict = {}
+        for pdf in batches:
+            for g, h in zip(pdf["grp"].values, pdf["h"].values):
+                s = kept.get(g)
+                if s is None:
+                    s = kept[g] = (set(), [])
+                members, heap = s
+                h = int(h)
+                if h in members:
+                    continue
+                if len(members) < cap:
+                    members.add(h)
+                    heapq.heappush(heap, -h)
+                elif h < -heap[0]:
+                    members.discard(-heapq.heappushpop(heap, -h))
+                    members.add(h)
+        yield pd.DataFrame(
+            {
+                "grp": [g for g, (m, _) in kept.items() for _ in m],
+                "h": [h for _, (m, _) in kept.items() for h in m],
+            }
+        )
+
+    return hashed.mapInPandas(summarize, f"grp {grp_type}, h long")
+
+
+def kmv_sketch_only(
+    df: DataFrame, group_col: str, value_col, k: int = KMV_K
+) -> DataFrame:
+    """Scale-shaped KMV estimate WITHOUT the exact-distinct twin: bounded
+    per-partition partial summaries (:func:`kmv_partials`) merged by one
+    groupBy that keeps the k+1 smallest of the union — standard
+    mergeable-sketch semantics (Beyer et al. PODS'07). Unlike
+    :func:`kmv_distinct` (the hash-verified contract form, which
+    materializes the full distinct set to emit ``n_exact``), no plan
+    node here ever holds more than k+1 hashes per group, so the estimate
+    is computable per partition and merged at the coordinator at any
+    scale. The estimate is bit-identical to ``kmv_distinct``'s
+    ``kmv_estimate`` (parity-tested), because the merged k+1-sketch
+    determines both the \"<= k distinct\" lossless case and the k-th
+    smallest hash exactly."""
+    cap = k + 1
+    merged = (
+        kmv_partials(df, group_col, value_col, k)
+        .groupBy("grp")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, cap).alias("hs"))
+    )
+    n = F.size(F.col("hs"))
+    est = F.when(n <= k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.element_at("hs", k).cast("double")
+    )
+    return merged.select(
+        F.col("grp").alias(group_col), F.round(est, 4).alias("kmv_estimate")
+    )
+
+
 HH_SUPPORT = 0.02  # default support threshold s: report tokens with freq >= s*N
 
 

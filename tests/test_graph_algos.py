@@ -234,6 +234,46 @@ def test_kmv_estimate_above_k_within_error(spark):
     assert abs(row["kmv_estimate"] - n) / n < 0.55
 
 
+def test_kmv_sketch_only_estimate_parity(spark):
+    """The bounded-state sketch must reproduce kmv_distinct's estimate
+    bit-exactly in every regime: below k (lossless count), exactly k
+    (the ambiguous boundary the k+1-th kept hash resolves), just above
+    k, and far above k — independent of partitioning."""
+    from entity_extractor_spark.operators.sketches import KMV_K, kmv_sketch_only
+
+    rows = []
+    for grp, n in [("below", 10), ("at_k", KMV_K), ("above", KMV_K + 1), ("far", 500)]:
+        rows += [(grp, f"{grp}-v{i}") for i in range(n)]
+        rows += [(grp, f"{grp}-v0")] * 3  # duplicates must not matter
+    df = spark.createDataFrame(rows, "grp string, val string")
+    exact = {
+        r["grp"]: r["kmv_estimate"] for r in kmv_distinct(df, "grp", "val").collect()
+    }
+    for parts in (1, 7):
+        sk = {
+            r["grp"]: r["kmv_estimate"]
+            for r in kmv_sketch_only(df.repartition(parts), "grp", "val").collect()
+        }
+        assert sk == exact, (parts, sk, exact)
+    assert exact["below"] == 10.0 and exact["at_k"] == float(KMV_K)
+    assert exact["above"] != float(KMV_K + 1)  # estimator regime engaged
+
+
+def test_kmv_partials_state_is_bounded(spark):
+    """The partial pass may emit at most k+1 rows per (partition, group)
+    — the exchange payload the sketch exists to bound."""
+    from entity_extractor_spark.operators.sketches import kmv_partials
+
+    k = 8
+    parts = 5
+    rows = [("g", f"v{i}") for i in range(1000)] + [("h", f"w{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "grp string, val string").repartition(parts)
+    out = kmv_partials(df, "grp", "val", k=k).groupBy("grp").count().collect()
+    by_grp = {r["grp"]: r["count"] for r in out}
+    assert by_grp["g"] <= (k + 1) * parts
+    assert by_grp["h"] <= 4 * parts  # never more rows than distinct values
+
+
 def test_kmv_insensitive_to_duplicates_and_partitioning(spark):
     base = [("g", f"value-{i}") for i in range(500)]
     df1 = spark.createDataFrame(base * 3, "grp string, val string")
