@@ -322,6 +322,42 @@ def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_bmp(bmp_payloads(_load(spark, sf_dir, "documents"))).orderBy("asset_id")
 
 
+def q_dedup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parity for the streaming dedup (`streaming/stateful.py:
+    dedup_stream`): drain the events table through the REAL streaming
+    operator — file source -> dropDuplicatesWithinWatermark -> parquet
+    sink under Trigger.AvailableNow — with a watermark delay wider than
+    the corpus's event-time span (so no key's state expires mid-drain),
+    then return the surviving key set. Within the lateness bound the
+    streaming contract IS exactly-once per key, so the result must equal
+    batch DISTINCT — the oracle. Only the key columns are returned:
+    WHICH duplicate row survives depends on arrival order, the key set
+    does not."""
+    import tempfile
+
+    from entity_extractor_spark.streaming.stateful import dedup_stream
+
+    # watermarks require TIMESTAMP (with tz); the parquet column is NTZ.
+    # The uniform tz shift cannot change which keys survive.
+    ev = _load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    tmp = tempfile.mkdtemp(prefix="dedup_stream_parity_")
+    inp, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    ev.write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(ev.schema).parquet(inp)
+    q = (
+        dedup_stream(stream, ["user_id", "event_type"], ts="ts", watermark="3650 days")
+        .select("user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).orderBy("user_id", "event_type")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
@@ -353,6 +389,7 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
     "repetition_signals": q_repetition_signals,
     "pii_scrub": q_pii_scrub,
+    "dedup_stream_parity": q_dedup_stream_parity,
 }
 
 
@@ -784,6 +821,10 @@ def _oracles() -> dict[str, str]:
         """,
         "wav_decode": _wav_decode_oracle(),
         "bmp_decode": _bmp_decode_oracle(),
+        "dedup_stream_parity": """
+            SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type
+        """,
         # pair graph = the minhash-LSH pipeline at DUP_CLUSTER_T (guard
         # mirrored), clusters = transitive closure (the recursive-CTE twin
         # of the pointer-jumping CC), representative = min doc_id
