@@ -51,8 +51,10 @@ def build_gram_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = NGRAM_N
 ) -> DataFrame:
     """(gram, id) posting table — the materialize-once index side. At
-    scale this is written bucketed by ``gram`` so a query's posting reads
-    are partition-pruned scans."""
+    scale this is written via ``io.sinks.write_range_clustered(gram)``
+    so every file covers a disjoint gram range and a query's posting
+    reads skip whole files on footer min/max — footer-verified in
+    tests/test_sources.py::test_gram_postings_range_clustered_prunes_files."""
     return docs.select(
         F.col(id_col), F.explode(char_ngrams(text_col, n)).alias("gram")
     )

@@ -121,6 +121,67 @@ def test_range_clustered_layout_is_prunable(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in plan, plan
 
 
+def test_gram_postings_range_clustered_prunes_files(spark, tmp_path):
+    """P5's scale path tied to S2's layout (round-3 verdict item 7): the
+    trigram posting table written via write_range_clustered(gram) must
+    yield pairwise-disjoint per-file gram ranges (real parquet footers),
+    a query's gram probe must touch a strict subset of the files, and
+    reading ONLY those files must return exactly the probe's postings —
+    making 'bucketed by gram at scale' measured instead of asserted."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from entity_extractor_spark.io.sinks import write_range_clustered
+    from entity_extractor_spark.operators.search import build_gram_postings
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "postings")
+    write_range_clustered(build_gram_postings(docs), out, ["gram"], n_files=8)
+
+    files = {}
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        gi = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "gram"
+        )
+        st = [md.row_group(r).column(gi).statistics for r in range(md.num_row_groups)]
+        files[f] = (min(s.min for s in st), max(s.max for s in st))
+    assert len(files) >= 2
+    ranges = sorted(files.values())
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, f"overlapping gram ranges: {ranges}"
+
+    # a 'spark' probe reads only the files whose footer range can hold
+    # one of its grams — a strict subset at 8 files
+    grams = sorted({"spark"[i : i + 3] for i in range(3)})
+    cand = [f for f, (lo, hi) in files.items() if any(lo <= g <= hi for g in grams)]
+    assert 0 < len(cand) < len(files), (grams, files)
+
+    full = {
+        (r["doc_id"], r["gram"])
+        for r in spark.read.parquet(out).filter(F.col("gram").isin(grams)).collect()
+    }
+    pruned = {
+        (r["doc_id"], r["gram"])
+        for r in spark.read.parquet(*cand).filter(F.col("gram").isin(grams)).collect()
+    }
+    assert pruned == full and len(full) > 0
+
+    # and the gram predicate reaches the scan (file+row-group pruning)
+    plan = (
+        spark.read.parquet(out)
+        .filter(F.col("gram").isin(grams))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(gram" in plan, plan
+
+
 def test_char_ngrams_short_texts_emit_no_postings(spark):
     """Texts shorter than n must contribute ZERO posting rows: Spark's
     sequence(1, 0) is descending [1, 0], which (ungated) emits junk grams
