@@ -60,7 +60,10 @@ def kmv_distinct(
 
     The exact count is emitted next to the estimate so the contract row
     itself documents estimator error; both columns hash-match the
-    DuckDB mirror.
+    DuckDB mirror. NOTE: materializing the full distinct set is the
+    price of that n_exact column — this is the VERIFICATION twin. The
+    form you run at 100 TB is :func:`kmv_sketch_only` (bounded
+    per-partition partials, one merge groupBy, bit-identical estimate).
     """
     vc = F.col(value_col) if isinstance(value_col, str) else value_col
     dv = df.select(F.col(group_col).alias("grp"), vc.alias("val")).dropDuplicates(

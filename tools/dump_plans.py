@@ -85,6 +85,22 @@ key (wedge enumeration, hot centers dropped by the broadcast degree-cap
 filter), one HashAggregate pair on the (a, b) key, degree marginals
 BroadcastHashJoined onto the pair counts. No cartesian; Jaccard is pure
 codegen arithmetic. Enforced by test_plans.py.""",
+    "co_lift_guarded": """Entity co-occurrence lift with the round-4 hot-doc
+guard: pair enumeration equi-self-joins only the docs admitted by the
+per-doc entity-count cap (left-semi against the <=cap doc list), marginals
+stay computed over every doc and are BroadcastHashJoined onto the pair
+counts. The guard closes the last unguarded wedge join — a doc with d
+entities emits d(d-1)/2 pairs. Enforced by test_graph_algos.py (boundary
+both sides of the cap).""",
+    "kmv_sketch": """Bounded-state KMV distinct sketch (round 4). Wanted shape:
+MapInPandas (per-partition k+1-smallest-hash summaries, bounded state) ->
+exactly ONE Exchange (the merge groupBy) -> HashAggregate; NO Window and no
+full-distinct materialization anywhere — the exchange carries <= k+1 rows
+per (partition, group). Enforced by test_plans.py.""",
+    "bmp_codec": """BMP encode->decode codec chain (round 4). Wanted shape:
+two fused MapInPandas stages over the pruned scan — ZERO exchanges, so the
+image payload never transits a shuffle (same discipline as the WAV chain).
+Enforced by test_plans.py.""",
 }
 
 
@@ -185,6 +201,21 @@ def main() -> None:
     plans["link_prediction"] = link_prediction(
         word_e, max_center_degree=12, min_common=2, checkpoint=False
     )
+
+    from entity_extractor_spark.operators.graph_algos import co_occurrence_lift
+    from entity_extractor_spark.operators.multimodal import bmp_payloads, decode_bmp
+    from entity_extractor_spark.operators.sketches import kmv_sketch_only
+
+    de = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.tokenize(F.col("text")))).alias("entity")
+    )
+    plans["co_lift_guarded"] = co_occurrence_lift(
+        de, max_doc_entities=12, checkpoint=False
+    )
+    plans["kmv_sketch"] = kmv_sketch_only(
+        docs.select("lang", F.col("text").alias("val")), "lang", "val"
+    )
+    plans["bmp_codec"] = decode_bmp(bmp_payloads(docs.select("doc_id", "text")))
 
     out = [
         "# PLANS — physical plans of the flagship stages",
