@@ -25,6 +25,14 @@ hypervisor, not the engine. The control is measured fresh on every run
 and reported alongside the Spark number. Override with
 SPARK_GRAFT_SCALE_LOW/HIGH.
 
+Noise protocol: the two levels are visited in INTERLEAVED alternation
+(``SPARK_GRAFT_SCALE_VISITS``, default 3) and the reported time per
+level is the min across visits. Sandbox contention bursts last minutes
+— two legs measured once each, minutes apart, measure the burst, not
+the engine (that is how r03's one-shot full-pipeline ratio landed at
+0.387 while per-stage plans were unchanged). Back-to-back legs inside
+one visit share the burst; the min across visits discards it.
+
 Writes/updates BENCH.md and prints one JSON line.
 """
 
@@ -90,19 +98,24 @@ def build_corpus(cfg) -> int:
     return n
 
 
-def run_at(cores: int, gaz) -> float:
+def run_at(cores: int, gaz, visit: int) -> float:
+    """One visit at a parallelism level: warm-up pass (JVM codegen,
+    Python workers on every slot, matcher broadcast, page cache), then
+    best-of-2 measured passes. Visits at the two levels are INTERLEAVED
+    by the caller and the min is taken across visits — the sandbox
+    hypervisor's contention bursts last minutes, so a LOW leg and a HIGH
+    leg measured back-to-back inside one burst stay comparable, and the
+    cross-visit min rides the bursts out entirely (the r03 lesson:
+    single-shot legs minutes apart measured the hypervisor, not the
+    engine)."""
     from entity_extractor_spark.operators.mentions import extract_mentions
     from entity_extractor_spark.session import get_spark
 
-    spark = get_spark(f"scaling-{cores}", cores=cores)
+    spark = get_spark(f"scaling-{cores}-v{visit}", cores=cores)
     transcripts = spark.read.parquet(CORPUS_DIR)
-    # full warm-up pass (JVM codegen, Python workers on every slot,
-    # matcher broadcast, page cache), then best-of-3 measured passes —
-    # measures scan+compute+shuffle like a long-running cluster job; the
-    # min de-noises the sandbox hypervisor's bursty CPU steal
     extract_mentions(transcripts, gaz).write.format("noop").mode("overwrite").save()
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         extract_mentions(transcripts, gaz).write.format("noop").mode("overwrite").save()
         dt = min(dt, time.perf_counter() - t0)
@@ -110,26 +123,25 @@ def run_at(cores: int, gaz) -> float:
     return dt
 
 
-def run_pipeline_at(cores: int, gaz) -> float:
-    """Full run_pipeline wall-clock at a parallelism level: every stage
-    materialized to a FRESH out_root per pass (StageRunner would
-    otherwise resume from the previous pass's fingerprints and elide the
-    work). Best-of-2; the first pass doubles as the session warm-up."""
+def run_pipeline_at(cores: int, gaz, visit: int) -> float:
+    """Full run_pipeline wall-clock at a parallelism level, ONE pass per
+    visit against a FRESH out_root (StageRunner would otherwise resume
+    from the previous pass's fingerprints and elide the work). The
+    caller interleaves visits across levels and takes the per-level min,
+    so the first (cold) visit simply never wins the min."""
     import shutil
 
     from entity_extractor_spark.pipeline import run_pipeline
     from entity_extractor_spark.session import get_spark
 
-    spark = get_spark(f"scaling-pipe-{cores}", cores=cores)
+    spark = get_spark(f"scaling-pipe-{cores}-v{visit}", cores=cores)
     transcripts = spark.read.parquet(CORPUS_DIR)
-    dt = float("inf")
-    for i in range(2):
-        root = f"/tmp/spark_graft_scale_pipe_{cores}_{i}"
-        shutil.rmtree(root, ignore_errors=True)
-        t0 = time.perf_counter()
-        run_pipeline(spark, transcripts, gaz, root)
-        dt = min(dt, time.perf_counter() - t0)
-        shutil.rmtree(root, ignore_errors=True)
+    root = f"/tmp/spark_graft_scale_pipe_{cores}_{visit}"
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_pipeline(spark, transcripts, gaz, root)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
     spark.stop()
     return dt
 
@@ -147,8 +159,18 @@ def main() -> None:
     ctrl_eff = (ctrl_high / ctrl_low) / (HIGH / LOW)
 
     job = run_pipeline_at if pipeline_mode else run_at
-    t_low = job(LOW, gaz)
-    t_high = job(HIGH, gaz)
+    visits = int(os.environ.get("SPARK_GRAFT_SCALE_VISITS", "3"))
+    t_low = t_high = float("inf")
+    history: list[tuple[float, float]] = []
+    for v in range(visits):
+        tl = job(LOW, gaz, v)
+        th = job(HIGH, gaz, v)
+        history.append((round(tl, 2), round(th, 2)))
+        t_low, t_high = min(t_low, tl), min(t_high, th)
+        print(
+            json.dumps({"visit": v, f"local[{LOW}]": round(tl, 2), f"local[{HIGH}]": round(th, 2)}),
+            flush=True,
+        )
     eff = (t_low / t_high) / (HIGH / LOW)
     result = {
         "metric": "pipeline_scaling_efficiency" if pipeline_mode else "scaling_efficiency",
@@ -185,6 +207,8 @@ def main() -> None:
         f"Efficiency (T{LOW}/T{HIGH})/{HIGH // LOW} = **{eff:.3f}** "
         f"(target ≥ 0.8; reference ≈ 0.61). {job_desc}Corpus: {n} turns, "
         f"{cfg.n_terms}-term gazetteer, seed {cfg.seed}. "
+        f"Protocol: {visits} interleaved LOW/HIGH visits, min per level "
+        f"(per-visit (T{LOW}, T{HIGH}) s: {history}). "
         f"Raw-CPU control (no Spark) at the same process counts: "
         f"{ctrl_eff:.3f} — the hypervisor's own ceiling for this pair.",
         "",

@@ -97,8 +97,16 @@ class StageRunner:
         writer.parquet(out)
         loaded = self.spark.read.parquet(out)
         lin = lineage_rows(loaded, stage, key_col)
-        lin.write.mode("overwrite").parquet(os.path.join(self.root, "_lineage", stage))
-        n = loaded.count()
+        lin_dir = os.path.join(self.root, "_lineage", stage)
+        lin.write.mode("overwrite").parquet(lin_dir)
+        # row count from the (tiny) lineage table, not a second full scan
+        # of the stage output — at 10^12 rows the saved scan is the
+        # difference between one and two passes over every stage's bytes
+        n = int(
+            self.spark.read.parquet(lin_dir)
+            .agg(F.coalesce(F.sum("n_rows"), F.lit(0)))
+            .first()[0]
+        )
         self.run_metrics.append(
             {
                 "stage": stage,

@@ -117,10 +117,25 @@ def extract_mentions(
     gazetteer: DataFrame | pd.DataFrame,
     include_aliases: bool = False,
     window_words: int = DEFAULT_WINDOW_WORDS,
+    repartition_conv: int | None = None,
 ) -> DataFrame:
-    """Full mention table per FIXTURES.md §3 (scan + per-(conv,term) flags)."""
+    """Full mention table per FIXTURES.md §3 (scan + per-(conv,term) flags).
+
+    ``repartition_conv``: hash-partition the raw scan output on conv_id
+    into that many partitions BEFORE the flag window. HashPartitioning
+    on conv_id satisfies the window's ClusteredDistribution on
+    (conv_id, term_id) — partitioning keys are a subset of the
+    clustering keys — so the window needs only a local sort and the
+    whole stage still has exactly ONE exchange, now keyed the way the
+    stage output is stored/bucketed (conv_id). Downstream conv_id
+    consumers (dedup window, triple windows, stage write) reuse the
+    same clustering instead of re-shuffling; the pipeline's mention
+    stage goes from three full shuffles of the mention table to one.
+    """
     matcher, names = build_matcher_from_gazetteer(gazetteer, include_aliases)
     raw = scan_mentions(transcripts, matcher, names, window_words)
+    if repartition_conv is not None:
+        raw = raw.repartition(repartition_conv, F.col("conv_id"))
     w = Window.partitionBy("conv_id", "term_id")
     # both flags in ONE select so Catalyst fuses them into a single Window
     # node over one exchange (two sequential withColumns produce two sorts
@@ -137,6 +152,26 @@ def extract_mentions(
     )
 
 
-def dedup_mentions(mentions: DataFrame) -> DataFrame:
-    """UNIQUE(bibcode,label,context) semantics (`load_inputs.py:38`)."""
-    return mentions.dropDuplicates(["conv_id", "term_id", "context"])
+def dedup_mentions(mentions: DataFrame, deterministic: bool = False) -> DataFrame:
+    """UNIQUE(bibcode,label,context) semantics (`load_inputs.py:38`).
+
+    Default form is ``dropDuplicates`` (arbitrary survivor, shuffles on
+    the full key). ``deterministic=True`` keeps the FIRST occurrence by
+    (turn_idx, start, end, match_location) via a row_number window —
+    bit-reproducible under any partitioning, and because the window's
+    ClusteredDistribution on (conv_id, term_id, context) is satisfied
+    by any upstream conv_id hash partitioning (subset rule), it adds NO
+    exchange when the input is already conv_id-clustered (the pipeline
+    path via ``extract_mentions(repartition_conv=...)``).
+    """
+    if not deterministic:
+        return mentions.dropDuplicates(["conv_id", "term_id", "context"])
+    w = (
+        Window.partitionBy("conv_id", "term_id", "context")
+        .orderBy("turn_idx", "start", "end", "match_location")
+    )
+    return (
+        mentions.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -98,29 +98,44 @@ def _ngram_matrix(texts: np.ndarray, dim: int = NGRAM_DIM) -> np.ndarray:
     return out
 
 
-def _factorized_matrix(s: pd.Series) -> np.ndarray:
-    """Hash each DISTINCT string once, then gather rows back.
+def _factorized(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(codes, unique-row matrix with a trailing zero row).
 
-    In score_candidates the description side repeats per gazetteer term
-    (dozens of uniques across thousands of rows) and contexts repeat
-    across a term's mentions, so factorizing skips most of the hashing
-    work. The gathered rows are the same vectors `_ngram_matrix` would
-    produce per row — float arithmetic downstream is bit-identical.
-    Sentinel code -1 (null/non-str) gathers the appended zero row, the
-    same zero vector the per-row path emits."""
+    Each DISTINCT string is hashed once; ``codes`` indexes rows back
+    into the matrix, with factorize's -1 sentinel (null/non-str)
+    remapped to the trailing zero row — the same zero vector the
+    per-row path emits."""
     codes, uniques = pd.factorize(s, use_na_sentinel=True)
     m = _ngram_matrix(uniques.to_numpy())
     m = np.vstack([m, np.zeros((1, m.shape[1] if m.size else NGRAM_DIM))])
-    return m[codes]
+    return np.where(codes < 0, len(uniques), codes), m
 
 
 @pandas_udf(DoubleType())
 def charngram_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Cosine similarity of hashed char-ngram vectors (Arrow-batched)."""
-    va = _factorized_matrix(a)
-    vb = _factorized_matrix(b)
-    dots = np.einsum("ij,ij->i", va, vb)
-    norms = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+    """Cosine similarity of hashed char-ngram vectors (Arrow-batched).
+
+    All heavy ops run on DISTINCT values, never per row: norms on each
+    side's unique rows, dots on unique (a, b) PAIRS, then scalar
+    gathers back to row order. In score_candidates a description
+    repeats per gazetteer term and a context repeats across a term's
+    mentions, so the dense per-row (batch x dim) gathers the naive form
+    needs (2 x 80 MB per 10k batch) never materialize. Every dot/norm
+    sum is over integer-valued counts, exactly representable in
+    float64, so summation order cannot diverge — results are
+    bit-identical to the per-row form and to charngram_cosine_sql
+    (adversarial parity: tests/test_cross_engine_parity.py)."""
+    ia, ma = _factorized(a)
+    ib, mb = _factorized(b)
+    # norms over unique rows: sqrt of exact integer sums of squares
+    na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+    nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+    # dots over unique (a, b) pairs only
+    pair = ia.astype(np.int64) * len(mb) + ib
+    upair, inv = np.unique(pair, return_inverse=True)
+    pa, pb = upair // len(mb), upair % len(mb)
+    dots = np.einsum("ij,ij->i", ma[pa], mb[pb])[inv]
+    norms = na[ia] * nb[ib]
     with np.errstate(divide="ignore", invalid="ignore"):
         sims = np.where(norms > 0, dots / norms, 0.0)
     return pd.Series(sims)

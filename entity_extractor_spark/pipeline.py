@@ -45,12 +45,20 @@ def run_pipeline(
     runner = StageRunner(spark, out_root)
     params = {"n_terms": int(len(gazetteer))}
 
+    # one conv_id exchange for the whole stage: the explicit repartition
+    # satisfies the flag window, the dedup window, AND the storage
+    # clustering (subset rule), replacing the former three shuffles
+    # (flag window + dropDuplicates + StageRunner repartition) of the
+    # biggest intermediate table with one
+    n_buckets = spark.sparkContext.defaultParallelism * 4
     mentions = runner.run(
         "mentions",
-        lambda: dedup_mentions(extract_mentions(transcripts, gazetteer)),
+        lambda: dedup_mentions(
+            extract_mentions(transcripts, gazetteer, repartition_conv=n_buckets),
+            deterministic=True,
+        ),
         params=params,
         key_col="conv_id",
-        partition_by="conv_id",
     )
 
     out: dict[str, DataFrame] = {"mentions": mentions}

@@ -41,6 +41,30 @@ def test_mention_scan_prunes_and_shuffles_once(spark):
     assert P.count_exchanges(full_plan) == 1, full_plan
 
 
+def test_pipeline_mention_stage_single_exchange(spark):
+    """The pipeline's fused mention stage — explicit conv_id repartition
+    + flag window + deterministic dedup window — still has exactly ONE
+    exchange: HashPartitioning(conv_id) satisfies both windows'
+    ClusteredDistribution (partitioning keys are a subset of the
+    clustering keys), so each window adds only a local sort. This is
+    the guard for the former three-shuffle shape (flag window +
+    dropDuplicates + storage repartition)."""
+    from entity_extractor_spark.operators.mentions import dedup_mentions, extract_mentions
+
+    gaz = pd.DataFrame({"term_id": ["t1"], "title": ["Spark: engine"]})
+    t = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+    )
+    staged = dedup_mentions(
+        extract_mentions(t, gaz, repartition_conv=8), deterministic=True
+    )
+    plan = P.formatted_plan(staged)
+    assert P.count_exchanges(plan) == 1, plan
+
+
 def test_filter_pushdown_reaches_parquet(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
