@@ -91,8 +91,13 @@ def run_pipeline(
     )
     out["triples"] = triples
 
-    out["edges"] = runner.run("edges", lambda: build_edges(triples), params=params)
-    out["nodes"] = runner.run("nodes", lambda: build_nodes(triples), params=params)
+    edges = runner.run("edges", lambda: build_edges(triples), params=params)
+    out["edges"] = edges
+    # nodes derive from the materialized weight-compressed edge table —
+    # one scan of ~|edges| rows instead of two scans of |triples|
+    out["nodes"] = runner.run(
+        "nodes", lambda: build_nodes(triples, edges=edges), params=params
+    )
 
     runner.write_manifest()
     out["lineage"] = runner.lineage()

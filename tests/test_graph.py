@@ -130,6 +130,19 @@ def test_build_nodes_and_edges(spark):
     assert dangling == 0
 
 
+def test_build_nodes_from_edges_identical(spark):
+    """The edges-derived node build (pipeline fast path) must produce
+    exactly the triple-derived node table — same ids, kinds, counts."""
+    cfg = SynthConfig(seed=13, n_terms=8, n_convs=10, hot_conv_factor=3)
+    gaz = make_gazetteer(cfg)
+    tr = to_spark(spark, make_transcripts(cfg, gaz))
+    triples = all_triples(tr, extract_mentions(tr, gaz))
+    edges = build_edges(triples)
+    a = sorted(map(tuple, build_nodes(triples).collect()))
+    b = sorted(map(tuple, build_nodes(triples, edges=edges).collect()))
+    assert a == b
+
+
 def test_connected_components_long_chain(spark):
     """Pointer jumping: a 300-node chain must converge well inside
     max_iter=25 (O(log n)), with every node labeled by the chain head —
