@@ -76,9 +76,12 @@ HEADLINE = [
     "wav_decode",
     "fuzzy_name_pairs",
     "indexed_search",
-    # round-4 operators: real BMP codec, bounded-state KMV sketch
+    # round-4 operators: real BMP codec, bounded-state KMV sketch,
+    # real AVI video codec + frame sampling
     "bmp_decode",
     "kmv_sketch",
+    "avi_decode",
+    "avi_frames",
 ]
 
 

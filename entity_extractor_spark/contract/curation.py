@@ -322,6 +322,31 @@ def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_bmp(bmp_payloads(_load(spark, sf_dir, "documents"))).orderBy("asset_id")
 
 
+def q_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec round trip (closes the last stubbed modality):
+    text -> genuine uncompressed AVI container (pure struct/numpy RIFF
+    writer: hdrl avih/strh/strf + movi '00db' DIB frames) -> RIFF-walk
+    decode -> exact integer per-video features including inter-frame
+    motion computed from DECODED pixels. The oracle predicts every
+    column independently from the text, so any corruption in the
+    encode/container/decode path hash-mismatches."""
+    from entity_extractor_spark.operators.multimodal import avi_payloads, decode_avi
+
+    return decode_avi(avi_payloads(_load(spark, sf_dir, "documents"))).orderBy("asset_id")
+
+
+def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling over the AVI container (X5 flatMap fan-out:
+    one row per sampled frame) with exact grayscale stats per decoded
+    frame — the production form of the former pyav stub."""
+    from entity_extractor_spark.operators.multimodal import avi_payloads, sample_avi_frames
+
+    return (
+        sample_avi_frames(avi_payloads(_load(spark, sf_dir, "documents")), every_k=2)
+        .orderBy("asset_id", "frame_idx")
+    )
+
+
 def q_dedup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch parity for the streaming dedup (`streaming/stateful.py:
     dedup_stream`): drain the events table through the REAL streaming
@@ -381,6 +406,8 @@ QUERIES = {
     "multimodal_report": q_multimodal_report,
     "wav_decode": q_wav_decode,
     "bmp_decode": q_bmp_decode,
+    "avi_decode": q_avi_decode,
+    "avi_frames": q_avi_frames,
     "det_sample": q_det_sample,
     "dataset_split": q_dataset_split,
     "sequence_packing": q_sequence_packing,
@@ -628,6 +655,26 @@ def _bmp_decode_oracle() -> str:
     )
 
 
+def _avi_decode_oracle() -> str:
+    from entity_extractor_spark.operators.multimodal import decode_avi_expected_sql
+
+    return (
+        "SELECT * FROM "
+        + decode_avi_expected_sql("SELECT doc_id, text FROM documents")
+        + "\nORDER BY asset_id"
+    )
+
+
+def _avi_frames_oracle() -> str:
+    from entity_extractor_spark.operators.multimodal import sample_avi_frames_expected_sql
+
+    return (
+        "SELECT * FROM "
+        + sample_avi_frames_expected_sql("SELECT doc_id, text FROM documents", every_k=2)
+        + "\nORDER BY asset_id, frame_idx"
+    )
+
+
 def _oracles() -> dict[str, str]:
     norm = T.normalize_text_sql("text")
     shingles3 = f"list_distinct({T.word_shingles_sql(T.tokenize_sql('text'), 3)})"
@@ -821,6 +868,8 @@ def _oracles() -> dict[str, str]:
         """,
         "wav_decode": _wav_decode_oracle(),
         "bmp_decode": _bmp_decode_oracle(),
+        "avi_decode": _avi_decode_oracle(),
+        "avi_frames": _avi_frames_oracle(),
         "dedup_stream_parity": """
             SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type

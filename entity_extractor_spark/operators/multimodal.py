@@ -4,18 +4,22 @@ A 100 TB training-data pipeline carries image/audio/video alongside text
 as opaque ``binary`` columns with a typed metadata struct; decode /
 feature-extract stages are Arrow-batched ``mapInPandas`` kernels.
 
-Codec status: the AUDIO path is REAL — ``wav_payloads`` synthesizes
-genuine RIFF/WAVE PCM16 containers and ``decode_wav`` parses them with
-the stdlib ``wave`` reader (contract key ``wav_decode`` hash-verifies the
-full encode→container→decode round trip against an oracle that predicts
-the features independently from the source text). Image/video codecs
-(PIL / pyav) are not available in this container, so those decode steps
-are STUBBED: ``decode_assets(..., fake=True)`` produces a deterministic
-fake decode (dimensions derived from payload bytes) while keeping the
-Spark-side plumbing — schema, batch iteration, partition behavior, output
-struct — fully real and tested. With ``fake=False`` the kernel raises
-``NotImplementedError`` at the exact point the real codec would be
-invoked.
+Codec status: all three modalities now have a REAL container round trip
+with no external codec libraries —
+* AUDIO: ``wav_payloads`` / ``decode_wav`` (stdlib ``wave``, RIFF/WAVE
+  PCM16; contract key ``wav_decode``);
+* IMAGE: ``bmp_payloads`` / ``decode_bmp`` (pure ``struct``/numpy 24-bit
+  BMP; contract key ``bmp_decode``);
+* VIDEO: ``avi_payloads`` / ``decode_avi`` / ``sample_avi_frames`` (pure
+  ``struct``/numpy uncompressed RIFF/AVI with '00db' DIB frames;
+  contract keys ``avi_decode`` and ``avi_frames``).
+Each decode's oracle predicts every output column independently from the
+source text, so a corrupted byte anywhere in the encode → container →
+decode round trip hash-mismatches. The generic ``decode_assets`` /
+``resize_assets`` / ``sample_frames`` kernels keep their deterministic
+fake path for EXTERNALLY-encoded media (JPEG/MP4 etc. would need
+PIL/pyav, absent here): ``fake=False`` raises ``NotImplementedError`` at
+the exact call site a real third-party codec would occupy.
 
 The payload itself never transits a shuffle in these plans: metadata is
 computed in-place (codegen'd byte ops), and decode emits only the derived
@@ -430,6 +434,314 @@ def decode_bmp_expected_sql(rel: str, id_col: str = "doc_id", text_col: str = "t
                3 * byte_sum AS px_sum, byte_max AS px_max,
                CAST(w * h - nb AS BIGINT) + n_nul AS n_zero_px
         FROM _bd_g
+    )"""
+
+
+AVI_FPS = 10
+AVI_PAYLOAD_SCHEMA = "asset_id long, payload binary"
+AVI_DECODED_SCHEMA = (
+    "asset_id long, width int, height int, n_frames int, fps int, "
+    "duration_ms long, px_sum long, px_max int, motion long"
+)
+
+
+def _avi_geometry(nb: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) for a payload of ``nb`` source bytes —
+    shared by encoder, decoder sanity checks, and the SQL oracle."""
+    w = 4 + nb % 5
+    h = 3 + nb % 7
+    return w, h, max(1, -(-nb // (w * h)))
+
+
+def avi_payloads(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Synthesize REAL video containers — the video analogue of
+    :func:`wav_payloads`/:func:`bmp_payloads`, closing the last stubbed
+    modality: each document's UTF-8 bytes become consecutive grayscale
+    frames (r = g = b = byte value, black-padded tail) of a genuine
+    uncompressed AVI written with pure ``struct``/numpy — RIFF/'AVI '
+    with LIST hdrl ('avih' MainAVIHeader + LIST strl with 'strh'
+    vids/DIB stream header and 'strf' BITMAPINFOHEADER) and LIST movi
+    holding one '00db' DIB chunk per frame (bottom-up scanlines, BGR,
+    4-byte row stride), no external codec libraries and no external
+    data. Geometry derives deterministically from the byte count
+    (:func:`_avi_geometry`), so every decoded feature is predictable
+    from the text alone — the oracle exploits this."""
+    import struct
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(aid), _encode_avi((text or "").encode("utf-8")))
+                for aid, text in zip(pdf[id_col].values, pdf[text_col].values)
+            ]
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, AVI_PAYLOAD_SCHEMA)
+
+
+def _encode_avi(b: bytes) -> bytes:
+    """Pure byte-level AVI writer (unit-testable without Spark)."""
+    import struct
+
+    import numpy as np
+
+    w, h, nf = _avi_geometry(len(b))
+    fpx = w * h
+    stride = ((w * 3 + 3) // 4) * 4
+    frame_sz = stride * h
+    px = np.zeros(nf * fpx, dtype=np.uint8)
+    px[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+    frames = []
+    for k in range(nf):
+        body = np.zeros((h, stride), dtype=np.uint8)
+        gray = px[k * fpx : (k + 1) * fpx].reshape(h, w)
+        # bottom-up scanlines, BGR (equal channels)
+        body[:, : w * 3] = np.repeat(gray[::-1], 3, axis=1)
+        frames.append(b"00db" + struct.pack("<I", frame_sz) + body.tobytes())
+    movi = b"movi" + b"".join(frames)
+    strf = b"strf" + struct.pack(
+        "<IIiiHHIIiiII", 40, 40, w, h, 1, 24, 0, frame_sz, 2835, 2835, 0, 0
+    )
+    strh = b"strh" + struct.pack(
+        "<I4s4sIHHIIIIIIIihhhh",
+        56, b"vids", b"DIB ", 0, 0, 0, 0, 1, AVI_FPS, 0, nf,
+        frame_sz, 0, 0, 0, 0, w, h,
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    # MainAVIHeader: usPerFrame, maxBytesPerSec, padding, flags,
+    # totalFrames, initialFrames, streams, suggestedBufSize,
+    # width, height, reserved[4] — body exactly 56 bytes
+    avih = b"avih" + struct.pack(
+        "<IIIIIIIIIII",
+        56, 1_000_000 // AVI_FPS, frame_sz * AVI_FPS, 0, 0, nf, 0, 1,
+        frame_sz, w, h,
+    ) + struct.pack("<IIII", 0, 0, 0, 0)
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    payload_body = b"AVI " + hdrl + b"LIST" + struct.pack("<I", len(movi)) + movi
+    return b"RIFF" + struct.pack("<I", len(payload_body)) + payload_body
+
+
+def decode_avi(assets: DataFrame) -> DataFrame:
+    """REAL video decode — replaces the last ``NotImplementedError``
+    codec stub the way ``decode_wav``/``decode_bmp`` closed audio and
+    image: a generic RIFF chunk walker finds 'avih' (declared geometry,
+    frame rate, frame count) and the movi '00db' frames, each frame's
+    DIB body is unpadded/unflipped with numpy, and the emitted features
+    — exact integer pixel sums, peak, and inter-frame motion (sum of
+    absolute pixel deltas between consecutive DECODED frames) — are
+    computed from the parsed pixels, never from the source text. The
+    DuckDB oracle (:func:`decode_avi_expected_sql`) predicts every
+    column independently from the text, so a wrong stride, scanline
+    order, chunk offset, or header field anywhere in the encode →
+    container → decode round trip hash-mismatches."""
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(aid),) + _decode_avi_bytes(bytes(payload))
+                for aid, payload in zip(pdf["asset_id"].values, pdf["payload"].values)
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "n_frames", "fps",
+                    "duration_ms", "px_sum", "px_max", "motion",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(dec, AVI_DECODED_SCHEMA)
+
+
+def _riff_walk(b: bytes, lo: int, hi: int):
+    """Yield (fourcc, is_list, body_lo, body_hi) for the chunks in
+    [lo, hi) — standard RIFF: size excludes the 8-byte chunk header;
+    chunks are word-aligned; a LIST's fourcc is its list type and its
+    body starts after that type field."""
+    import struct
+
+    pos = lo
+    while pos + 8 <= hi:
+        fcc = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        body_lo = pos + 8
+        if fcc == b"LIST":
+            yield b[body_lo : body_lo + 4], True, body_lo + 4, body_lo + size
+        else:
+            yield fcc, False, body_lo, body_lo + size
+        pos = body_lo + size + (size & 1)
+
+
+def _parse_avi(b: bytes) -> tuple:
+    """Pure byte-level AVI parser (unit-testable without Spark); returns
+    (width, height, fps, frames) with each frame an (h, w*3) int64
+    array in top-down row order."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI container")
+    us_per_frame = n_declared = w = h = None
+    frames: list[np.ndarray] = []
+    for fcc, is_list, flo, fhi in _riff_walk(b, 12, len(b)):
+        if is_list and fcc == b"hdrl":
+            for f2, _l2, lo2, _hi2 in _riff_walk(b, flo, fhi):
+                if f2 == b"avih":
+                    (us_per_frame, _, _, _, n_declared, _, _streams, _,
+                     w, h) = struct.unpack_from("<IIIIIIIIII", b, lo2)
+        elif is_list and fcc == b"movi":
+            for f2, _l2, lo2, _hi2 in _riff_walk(b, flo, fhi):
+                if f2 == b"00db":
+                    stride = ((w * 3 + 3) // 4) * 4
+                    body = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=lo2)
+                    # strip row padding, undo bottom-up order
+                    frames.append(
+                        body.reshape(h, stride)[:, : w * 3][::-1].astype(np.int64)
+                    )
+    if us_per_frame is None or len(frames) != n_declared:
+        raise ValueError("malformed AVI")
+    return int(w), int(h), 1_000_000 // us_per_frame, frames
+
+
+def _decode_avi_bytes(b: bytes) -> tuple:
+    """(width, height, n_frames, fps, duration_ms, px_sum, px_max,
+    motion) from a parsed container."""
+    import numpy as np
+
+    w, h, fps, frames = _parse_avi(b)
+    stack = np.stack(frames)
+    px_sum = int(stack.sum())
+    px_max = int(stack.max()) if stack.size else 0
+    motion = int(np.abs(np.diff(stack, axis=0)).sum()) if len(frames) > 1 else 0
+    return (w, h, len(frames), fps, len(frames) * 1000 // fps, px_sum, px_max, motion)
+
+
+AVI_FRAME_SCHEMA = (
+    "asset_id long, frame_idx int, ts_ms long, gray_sum long, gray_max int"
+)
+
+
+def sample_avi_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL frame sampling (the production form of the :func:`sample_frames`
+    stub): parse the AVI container, keep every k-th decoded frame, and
+    emit one OUTPUT ROW PER SAMPLED FRAME (flatMap fan-out) with exact
+    integer grayscale stats computed from the frame's decoded pixels
+    (the B channel of the unpadded, top-down DIB rows — channels are
+    equal by construction). ``ts_ms`` comes from the container's frame
+    rate, not the source text. Payloads never transit a shuffle: the
+    fan-out happens inside the map stage and only the derived stats
+    flow on."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"].values, pdf["payload"].values):
+                _w, _h, fps, frames = _parse_avi(bytes(payload))
+                for fi in range(0, len(frames), every_k):
+                    gray = frames[fi][:, ::3]
+                    rows.append(
+                        (int(aid), fi, fi * 1000 // fps, int(gray.sum()), int(gray.max()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "ts_ms", "gray_sum", "gray_max"]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(sample, AVI_FRAME_SCHEMA)
+
+
+def sample_avi_frames_expected_sql(
+    rel: str, id_col: str = "doc_id", text_col: str = "text", every_k: int = 2
+) -> str:
+    """DuckDB oracle for :func:`avi_payloads` → :func:`sample_avi_frames`:
+    predicts every sampled frame's grayscale stats from the source text —
+    frame ``fi`` holds source bytes [fi*fpx, (fi+1)*fpx) (0 beyond the
+    text: black tail padding), ts from the fixed container frame rate."""
+    hv = "strpos('123456789ABCDEF', substring(hx, {k}, 1))"
+
+    def bv(idx: str) -> str:
+        return f"({hv.format(k=f'2*({idx})-1')} * 16 + {hv.format(k=f'2*({idx})')})"
+
+    byte_i = bv("i")
+    return f"""(
+        WITH _af_in AS (
+          SELECT {id_col} AS asset_id, coalesce({text_col}, '') AS t FROM ({rel})
+        ),
+        _af_b AS (
+          SELECT asset_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS nb
+          FROM _af_in
+        ),
+        _af_g AS (
+          SELECT asset_id, hx, nb,
+                 (4 + nb % 5) * (3 + nb % 7) AS fpx,
+                 greatest(1, (nb + (4 + nb % 5) * (3 + nb % 7) - 1)
+                             // ((4 + nb % 5) * (3 + nb % 7))) AS nf
+          FROM _af_b
+        ),
+        _af_f AS (
+          SELECT asset_id, hx, nb, fpx, CAST(u.fi AS INT) AS frame_idx
+          FROM _af_g, unnest(range(0, nf, {every_k})) u(fi)
+        )
+        SELECT asset_id, frame_idx,
+               CAST(frame_idx AS BIGINT) * 1000 // {AVI_FPS} AS ts_ms,
+               CAST(coalesce(list_sum(list_transform(
+                 range(frame_idx * fpx + 1, least(nb, (frame_idx + 1) * fpx) + 1),
+                 i -> {byte_i})), 0) AS BIGINT) AS gray_sum,
+               CAST(coalesce(list_max(list_transform(
+                 range(frame_idx * fpx + 1, least(nb, (frame_idx + 1) * fpx) + 1),
+                 i -> {byte_i})), 0) AS INT) AS gray_max
+        FROM _af_f
+    )"""
+
+
+def decode_avi_expected_sql(rel: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB oracle for :func:`avi_payloads` → :func:`decode_avi`:
+    predicts the decoded video features from the source text alone via
+    the hex-byte technique — geometry from the byte count
+    (:func:`_avi_geometry`), px_sum = 3 * sum(bytes) (grayscale BGR,
+    black padding adds 0), px_max = max byte, and motion = 3 * sum of
+    |byte(i) - byte(i + frame_px)| over consecutive-frame pixel pairs
+    (bytes beyond the text read as 0 — the black tail padding)."""
+    hv = "strpos('123456789ABCDEF', substring(hx, {k}, 1))"
+
+    def bv(idx: str) -> str:
+        return f"({hv.format(k=f'2*({idx})-1')} * 16 + {hv.format(k=f'2*({idx})')})"
+
+    byte_i = bv("i")
+    byte_pad = f"CASE WHEN i <= nb THEN {byte_i} ELSE 0 END"
+    byte_j = bv("i + fpx")
+    byte_j_pad = f"CASE WHEN i + fpx <= nb THEN {byte_j} ELSE 0 END"
+    return f"""(
+        WITH _av_in AS (
+          SELECT {id_col} AS asset_id, coalesce({text_col}, '') AS t FROM ({rel})
+        ),
+        _av_b AS (
+          SELECT asset_id, hex(encode(t)) AS hx, octet_length(encode(t)) AS nb
+          FROM _av_in
+        ),
+        _av_g AS (
+          SELECT asset_id, hx, nb, 4 + nb % 5 AS w, 3 + nb % 7 AS h,
+                 (4 + nb % 5) * (3 + nb % 7) AS fpx,
+                 greatest(1, (nb + (4 + nb % 5) * (3 + nb % 7) - 1)
+                             // ((4 + nb % 5) * (3 + nb % 7))) AS nf
+          FROM _av_b
+        ),
+        _av_s AS (
+          SELECT asset_id, w, h, nf,
+                 CAST(coalesce(list_sum(list_transform(range(1, nb + 1),
+                   i -> {byte_i})), 0) AS BIGINT) AS byte_sum,
+                 CAST(coalesce(list_max(list_transform(range(1, nb + 1),
+                   i -> {byte_i})), 0) AS INT) AS byte_max,
+                 CAST(coalesce(list_sum(list_transform(range(1, (nf - 1) * fpx + 1),
+                   i -> abs(({byte_pad}) - ({byte_j_pad})))), 0) AS BIGINT) AS gray_motion
+          FROM _av_g
+        )
+        SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(nf AS INT) AS n_frames, {AVI_FPS} AS fps,
+               CAST(nf AS BIGINT) * 1000 // {AVI_FPS} AS duration_ms,
+               3 * byte_sum AS px_sum, byte_max AS px_max,
+               3 * gray_motion AS motion
+        FROM _av_s
     )"""
 
 

@@ -400,6 +400,60 @@ def test_bmp_codec_roundtrip_known_values(spark):
     assert r3["n_zero_px"] == 8 * 4 - 30
 
 
+def test_avi_codec_roundtrip_known_values(spark):
+    """REAL video codec: a known string encodes to a genuine uncompressed
+    RIFF/AVI whose RIFF-walk decode returns hand-computable per-video and
+    per-frame statistics. Container structure is asserted byte-for-byte
+    for the 'AB' case (w=6, h=5, one frame)."""
+    from entity_extractor_spark.operators.multimodal import (
+        avi_payloads,
+        decode_avi,
+        sample_avi_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "AB"), (2, ""), (3, "x" * 100)], "doc_id long, text string"
+    )
+    payloads = {r["asset_id"]: bytes(r["payload"]) for r in avi_payloads(docs).collect()}
+    p = payloads[1]  # 'AB': w = 4 + 2%5 = 6, h = 3 + 2%7 = 5, nf = 1
+    assert p[:4] == b"RIFF" and p[8:12] == b"AVI "
+    assert b"avih" in p and b"strh" in p and b"strf" in p and b"00db" in p
+    assert b"vids" in p and b"DIB " in p
+
+    rows = {r["asset_id"]: r for r in decode_avi(avi_payloads(docs)).collect()}
+    r = rows[1]
+    assert (r["width"], r["height"], r["n_frames"], r["fps"]) == (6, 5, 1, 10)
+    assert r["px_sum"] == 3 * (65 + 66) and r["px_max"] == 66 and r["motion"] == 0
+    # empty text: one all-black 4x3 frame
+    r2 = rows[2]
+    assert (r2["width"], r2["height"], r2["n_frames"]) == (4, 3, 1)
+    assert (r2["px_sum"], r2["px_max"], r2["motion"]) == (0, 0, 0)
+    # 100 bytes of 'x': w=4, h=5, fpx=20 -> 5 full constant frames;
+    # motion = 0 (identical frames), duration 5 frames at 10 fps = 500 ms
+    r3 = rows[3]
+    assert (r3["width"], r3["height"], r3["n_frames"]) == (4, 5, 5)
+    assert r3["px_sum"] == 3 * 100 * ord("x") and r3["motion"] == 0
+    assert r3["duration_ms"] == 500
+
+    # frame sampling: every 2nd frame of the 5-frame video -> idx 0, 2, 4
+    frames = sample_avi_frames(avi_payloads(docs), every_k=2).collect()
+    by_asset = {}
+    for fr in frames:
+        by_asset.setdefault(fr["asset_id"], []).append(fr)
+    assert [f["frame_idx"] for f in sorted(by_asset[3], key=lambda x: x["frame_idx"])] == [0, 2, 4]
+    f0 = by_asset[3][0]
+    assert f0["gray_sum"] == 20 * ord("x") and f0["gray_max"] == ord("x")
+    assert len(by_asset[1]) == 1 and by_asset[1][0]["ts_ms"] == 0
+    # motion is real: 35 bytes -> w=4, h=3, fpx=12, 3 frames
+    # f0 = 12 x \x01, f1 = 12 x \x03, f2 = 11 x \x05 + 1 black pad px
+    # motion = 3ch * (12*|3-1| + 11*|5-3| + 1*|0-3|) = 3 * 49
+    docs2 = spark.createDataFrame(
+        [(9, "\x01" * 12 + "\x03" * 12 + "\x05" * 11)], "doc_id long, text string"
+    )
+    r9 = decode_avi(avi_payloads(docs2)).collect()[0]
+    assert r9["n_frames"] == 3 and r9["motion"] == 3 * 49
+
+
 def test_multimodal_real_decode_is_stubbed(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(2)
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):

@@ -295,6 +295,24 @@ def test_bmp_codec_chain_never_shuffles_payload(spark):
     assert "MapInPandas" in plan, plan
 
 
+def test_avi_codec_chain_never_shuffles_payload(spark):
+    """Same discipline as the WAV/BMP chains: encode -> decode (and the
+    per-frame fan-out) are fused MapInPandas stages over the scan, zero
+    exchanges — the AVI payload never transits a shuffle."""
+    from entity_extractor_spark.operators.multimodal import (
+        avi_payloads,
+        decode_avi,
+        sample_avi_frames,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    plan = P.formatted_plan(decode_avi(avi_payloads(d)))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    plan2 = P.formatted_plan(sample_avi_frames(avi_payloads(d)))
+    assert "Exchange" not in plan2, plan2
+
+
 def test_kmv_sketch_only_single_bounded_exchange(spark):
     """The scale-shaped KMV plan (round-3 verdict item 5): a MapInPandas
     partial stage (<= k+1 rows per partition-group) followed by exactly

@@ -101,6 +101,12 @@ per (partition, group). Enforced by test_plans.py.""",
 two fused MapInPandas stages over the pruned scan — ZERO exchanges, so the
 image payload never transits a shuffle (same discipline as the WAV chain).
 Enforced by test_plans.py.""",
+    "avi_codec": """AVI encode->decode video codec chain (round 4, the last
+modality). Wanted shape: identical discipline to the WAV/BMP chains — fused
+MapInPandas stages over the pruned scan, ZERO exchanges; the multi-frame
+video payload never transits a shuffle, and the per-frame sampling fan-out
+(one row per sampled frame) happens INSIDE the map stage so only derived
+integer stats flow on. Enforced by test_plans.py.""",
 }
 
 
@@ -216,6 +222,10 @@ def main() -> None:
         docs.select("lang", F.col("text").alias("val")), "lang", "val"
     )
     plans["bmp_codec"] = decode_bmp(bmp_payloads(docs.select("doc_id", "text")))
+
+    from entity_extractor_spark.operators.multimodal import avi_payloads, sample_avi_frames
+
+    plans["avi_codec"] = sample_avi_frames(avi_payloads(docs.select("doc_id", "text")))
 
     out = [
         "# PLANS — physical plans of the flagship stages",
