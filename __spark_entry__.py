@@ -398,13 +398,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # semi_join, anti_join, except_keys, percent_of_total, stats. After this
 # window lands, every contract key has >=1 green driver row cumulatively.
 # ROUND-5 ROTATION PLAN: kmv_sketch (bounded-state KMV merge form),
-# dedup_stream_parity (streaming dedup ≡ batch DISTINCT), avi_decode and
+# dedup_stream_parity (streaming dedup ≡ batch DISTINCT),
+# windowed_counts_parity (watermarked tumbling-window agg ≡ batch hourly
+# counts under the append-mode finalization predicate), avi_decode and
 # avi_frames (REAL uncompressed-AVI video codec round trip + per-frame
 # sampling — the last modality, added late round 4), all added after the
 # round-4 window froze and local-replica green at sf0.001 + sf0.01,
-# rotate IN; rotate out four keys green in BOTH r03 and r04 once
+# rotate IN; rotate out five keys green in BOTH r03 and r04 once
 # CORRECTNESS_r04.json lands (e.g. join_agg, window_topk, dedup_keys,
-# broadcast_join).
+# broadcast_join, conv_digest).
 PRIORITY_KEYS = [
     # core SURVEY §2 set (round-1 gap: no driver row); value_counts /
     # bool_sum / union_distinct went green in r02 and rotate out for the

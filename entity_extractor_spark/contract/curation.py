@@ -383,6 +383,52 @@ def q_dedup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).orderBy("user_id", "event_type")
 
 
+def q_windowed_counts_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parity for the watermarked tumbling-window aggregation
+    (`streaming/stateful.py: windowed_event_counts`): drain the events
+    table through the REAL streaming operator — file source ->
+    withWatermark -> window groupBy -> parquet sink under
+    Trigger.AvailableNow. With delay "0 seconds" the final watermark is
+    max(ts), and append mode emits exactly the windows whose end <= the
+    watermark (the final in-flight window stays open in state). The
+    oracle is the batch hourly count restricted by the same
+    finalization predicate — so the hash match verifies Spark's
+    watermark/append emission contract itself, not just the arithmetic.
+    The flush relies on the no-data micro-batch Spark runs before an
+    AvailableNow drain terminates (verified in
+    tests/test_streaming_stateful.py::test_windowed_event_counts_watermark)."""
+    import tempfile
+
+    from entity_extractor_spark.streaming.stateful import windowed_event_counts
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    tmp = tempfile.mkdtemp(prefix="windowed_counts_parity_")
+    inp, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    ev.write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(ev.schema).parquet(inp)
+    q = (
+        windowed_event_counts(
+            stream, group_col="event_type", ts="ts", window="1 hour", watermark="0 seconds"
+        )
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).orderBy("window_start", "event_type")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
@@ -417,6 +463,7 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "pii_scrub": q_pii_scrub,
     "dedup_stream_parity": q_dedup_stream_parity,
+    "windowed_counts_parity": q_windowed_counts_parity,
 }
 
 
@@ -873,6 +920,18 @@ def _oracles() -> dict[str, str]:
         "dedup_stream_parity": """
             SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type
+        """,
+        # windows finalized under a 0-second watermark = every hourly
+        # window whose end <= max(ts); the in-flight window stays open
+        "windowed_counts_parity": """
+            WITH mx AS (SELECT max(ts) AS mts FROM events)
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   count(*) AS n
+            FROM events, mx
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mts
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         # pair graph = the minhash-LSH pipeline at DUP_CLUSTER_T (guard
         # mirrored), clusters = transitive closure (the recursive-CTE twin
