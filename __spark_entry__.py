@@ -402,11 +402,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # windowed_counts_parity (watermarked tumbling-window agg ≡ batch hourly
 # counts under the append-mode finalization predicate), avi_decode and
 # avi_frames (REAL uncompressed-AVI video codec round trip + per-frame
-# sampling — the last modality, added late round 4), all added after the
+# sampling — the last modality, added late round 4), and
+# sessionize_parity (custom applyInPandasWithState sessionizer ≡ batch
+# islands oracle under the ms-floored watermark), all added after the
 # round-4 window froze and local-replica green at sf0.001 + sf0.01,
-# rotate IN; rotate out five keys green in BOTH r03 and r04 once
+# rotate IN; rotate out six keys green in BOTH r03 and r04 once
 # CORRECTNESS_r04.json lands (e.g. join_agg, window_topk, dedup_keys,
-# broadcast_join, conv_digest).
+# broadcast_join, conv_digest, asof_join).
 PRIORITY_KEYS = [
     # core SURVEY §2 set (round-1 gap: no driver row); value_counts /
     # bool_sum / union_distinct went green in r02 and rotate out for the

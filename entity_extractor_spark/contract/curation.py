@@ -429,6 +429,56 @@ def q_windowed_counts_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).orderBy("window_start", "event_type")
 
 
+def q_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parity for the CUSTOM stateful sessionizer
+    (`streaming/stateful.py: sessionize_stream`,
+    applyInPandasWithState + event-time timeout): drain the events table
+    through the real streaming operator under Trigger.AvailableNow and
+    compare against a microsecond-precise batch islands oracle. With
+    delay "0 seconds" the final watermark is max(ts) FLOORED TO THE
+    MILLISECOND (Spark tracks event time in ms), and the operator emits
+    exactly the sessions with end + gap strictly before it — the oracle
+    mirrors both the flooring and the strictness, so the hash match
+    verifies the operator's emission contract (timeout scheduling,
+    no-data-batch flush, once-only emission), not just the gap merge.
+    NOTE: the batch `sessionize` key's oracle compares gaps at SECOND
+    granularity (unix_timestamp); this one compares full-precision
+    timestamps because the stateful operator merges on microsecond
+    arithmetic — the two rules disagree on fractional-second boundary
+    gaps, so they deliberately do not share SQL."""
+    import tempfile
+
+    from entity_extractor_spark.streaming.stateful import sessionize_stream
+
+    ev = (
+        _load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    tmp = tempfile.mkdtemp(prefix="sessionize_parity_")
+    inp, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    ev.write.mode("overwrite").parquet(inp)
+    stream = spark.readStream.schema(ev.schema).parquet(inp)
+    q = (
+        sessionize_stream(
+            stream, key="user_id", ts="ts", gap_seconds=1800, watermark="0 seconds"
+        )
+        .select(
+            "key",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).orderBy("key", "session_start")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
@@ -464,6 +514,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "dedup_stream_parity": q_dedup_stream_parity,
     "windowed_counts_parity": q_windowed_counts_parity,
+    "sessionize_parity": q_sessionize_parity,
 }
 
 
@@ -932,6 +983,38 @@ def _oracles() -> dict[str, str]:
             WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mts
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # microsecond-precise islands (the stateful operator's exact gap
+        # rule), finalized under the ms-floored 0-second watermark: a
+        # session emits iff end + gap < floor_ms(max(ts)), strictly
+        "sessionize_parity": """
+            WITH mx AS (
+              SELECT date_trunc('milliseconds', max(ts)) AS wm FROM events
+            ),
+            g AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g
+            ),
+            per AS (
+              SELECT user_id AS key, min(ts) AS session_start,
+                     max(ts) AS session_end,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT key, session_start, session_end, n_events
+            FROM per, mx
+            WHERE session_end + INTERVAL 1800 SECOND < wm
+            ORDER BY key, session_start
         """,
         # pair graph = the minhash-LSH pipeline at DUP_CLUSTER_T (guard
         # mirrored), clusters = transitive closure (the recursive-CTE twin
