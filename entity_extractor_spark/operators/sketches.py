@@ -150,10 +150,13 @@ def kmv_sketch_only(
     groupBy that keeps the k+1 smallest of the union — standard
     mergeable-sketch semantics (Beyer et al. PODS'07). Unlike
     :func:`kmv_distinct` (the hash-verified contract form, which
-    materializes the full distinct set to emit ``n_exact``), no plan
-    node here ever holds more than k+1 hashes per group, so the estimate
-    is computable per partition and merged at the coordinator at any
-    scale. The estimate is bit-identical to ``kmv_distinct``'s
+    materializes the full distinct set to emit ``n_exact``), the
+    exchange here carries at most k+1 hashes per (map partition, group)
+    regardless of input size; the single merge node per group then holds
+    at most (k+1) x n_map_partitions longs before the slice (k=32,
+    10^4 partitions -> ~2.6 MB worst case — if that ever mattered, an
+    intermediate repartition + re-summarize level makes the merge a
+    tree). The estimate is bit-identical to ``kmv_distinct``'s
     ``kmv_estimate`` (parity-tested), because the merged k+1-sketch
     determines both the \"<= k distinct\" lossless case and the k-th
     smallest hash exactly."""
