@@ -31,6 +31,10 @@ SYNTH_CONVS = int(os.environ.get("SPARK_GRAFT_SYNTH_CONVS", "48000"))
 # burst pollutes one pass of many queries instead of every sample of a
 # few queries — raise to 5 for regression triage runs.
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+# comma-separated subset of HEADLINE for targeted runs (e.g. the sf1
+# stress extension of a few new keys); unset = full artifact run. When
+# set, the flagship/kg synthetic-corpus sections are skipped too.
+ONLY = [s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s]
 
 # relational + mention-scan core
 HEADLINE = [
@@ -116,6 +120,25 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _emit(timings: dict, cold: dict, n_turns) -> None:
+    total = round(sum(v for k, v in timings.items() if k != "turns_per_sec"), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cold_first_run": cold,
+        "cpus": CPUS,
+    }
+    if n_turns is not None:
+        payload["n_synth_turns"] = n_turns
+    if ONLY:
+        payload["subset"] = ONLY
+    print(json.dumps(payload))
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from entity_extractor_spark.session import get_spark
@@ -145,23 +168,28 @@ def main() -> None:
     # warm 3-10x slower than their own cold pass). Interleaving spreads
     # each query's samples across the whole run's wall-clock, so a burst
     # must span the entire bench to pollute every sample of one query.
+    headline = [n for n in HEADLINE if n in ONLY] if ONLY else HEADLINE
     cold: dict[str, float] = {}
     best: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         t0 = time.perf_counter()
         _materialize(qs[name](spark, SF_DIR))
         cold[name] = round(time.perf_counter() - t0, 3)
         best[name] = cold[name]
     for _ in range(REPEATS):
-        for name in HEADLINE:
+        for name in headline:
             t0 = time.perf_counter()
             _materialize(qs[name](spark, SF_DIR))
             best[name] = min(best[name], time.perf_counter() - t0)
-    for name in HEADLINE:
+    for name in headline:
         timings[name] = round(best[name], 3)
 
     # flagship: full mention extraction over synthetic transcripts
     # (generated executor-side — deterministic per config, see synth.py)
+    if ONLY:
+        _emit(timings, cold, None)
+        spark.stop()
+        return
     from entity_extractor_spark.synth import make_transcripts_distributed
 
     cfg = SynthConfig(seed=42, n_terms=256, n_convs=SYNTH_CONVS, hot_conv_factor=50)
@@ -206,22 +234,7 @@ def main() -> None:
         dt = min(dt, time.perf_counter() - t0)
     timings["kg_pipeline"] = round(dt, 3)
 
-    total = round(sum(v for k, v in timings.items() if k != "turns_per_sec"), 3)
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cold_first_run": cold,
-                "n_synth_turns": n_turns,
-                "cpus": CPUS,
-            }
-        )
-    )
+    _emit(timings, cold, n_turns)
     spark.stop()
 
 

@@ -347,6 +347,67 @@ def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parity_stream_events(spark: SparkSession, sf_dir: str, key: str):
+    """(stream, out_path, ckpt_path) for a streaming parity drain: the
+    events parquet is readStream'd in place when it is a directory, or
+    via a SYMLINK into the scratch dir when it is a single file
+    (FileStreamSource requires a directory source) — never a batch
+    rewrite of the input. Sink + checkpoint live in a DETERMINISTIC
+    scratch dir wiped at the start of every invocation. The dir must
+    outlive the query function (the returned result DataFrame reads the
+    sink lazily, the driver collects later), so cleanup is
+    wipe-on-next-use — accumulation is bounded at one sink+checkpoint
+    per (key, corpus) instead of one per run."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tmp = os.path.join(tempfile.gettempdir(), f"ee_spark_parity_{key}_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    src = path
+    if not os.path.isdir(path):
+        os.makedirs(f"{tmp}/in")
+        os.symlink(os.path.abspath(path), f"{tmp}/in/events.parquet")
+        src = f"{tmp}/in"
+    return spark.readStream.schema(schema).parquet(src), f"{tmp}/out", f"{tmp}/ckpt"
+
+
+def _utc_drain(spark: SparkSession):
+    """Context manager forcing the session timezone to UTC for the
+    duration of a streaming drain, restoring the caller's setting after.
+
+    The tumbling-window and sessionize parity keys are TZ-sensitive:
+    the NTZ->timestamp cast interprets naive values in the SESSION
+    timezone, while F.window aligns to UTC-epoch boundaries and
+    applyInPandasWithState's watermark is UTC-epoch ms — under a
+    non-UTC session (+05:30 say) hour windows land on :30 local marks
+    and the sessionizer's finalization cutoff shifts by the offset,
+    so every row would hash-mismatch the oracle's naive-timestamp SQL.
+    Pinning UTC for the drain makes naive == UTC and the emitted NTZ
+    results timezone-free. Every TZ-sensitive transformation must be
+    CONSTRUCTED inside the context, not merely started: PySpark
+    analyzes each DataFrame operation eagerly and Cast captures the
+    session timezone at analysis time (verified — a cast built outside
+    the context keeps the caller's zone even when the stream starts
+    inside it)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        old = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+
+    return _cm()
+
+
 def q_dedup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch parity for the streaming dedup (`streaming/stateful.py:
     dedup_stream`): drain the events table through the REAL streaming
@@ -358,17 +419,13 @@ def q_dedup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch DISTINCT — the oracle. Only the key columns are returned:
     WHICH duplicate row survives depends on arrival order, the key set
     does not."""
-    import tempfile
-
     from entity_extractor_spark.streaming.stateful import dedup_stream
 
+    stream, out, ckpt = _parity_stream_events(spark, sf_dir, "dedup")
     # watermarks require TIMESTAMP (with tz); the parquet column is NTZ.
-    # The uniform tz shift cannot change which keys survive.
-    ev = _load(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
-    tmp = tempfile.mkdtemp(prefix="dedup_stream_parity_")
-    inp, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
-    ev.write.mode("overwrite").parquet(inp)
-    stream = spark.readStream.schema(ev.schema).parquet(inp)
+    # The uniform tz shift cannot change which keys survive, so (unlike
+    # the window/sessionize keys) no _utc_drain is needed here.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     q = (
         dedup_stream(stream, ["user_id", "event_type"], ts="ts", watermark="3650 days")
         .select("user_id", "event_type")
@@ -396,36 +453,35 @@ def q_windowed_counts_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark/append emission contract itself, not just the arithmetic.
     The flush relies on the no-data micro-batch Spark runs before an
     AvailableNow drain terminates (verified in
-    tests/test_streaming_stateful.py::test_windowed_event_counts_watermark)."""
-    import tempfile
-
+    tests/test_streaming_stateful.py::test_windowed_event_counts_watermark).
+    The drain runs under a pinned-UTC session (:func:`_utc_drain`) so
+    window alignment matches the oracle's naive-hour truncation under
+    any caller timezone."""
     from entity_extractor_spark.streaming.stateful import windowed_event_counts
 
-    ev = (
-        _load(spark, sf_dir, "events")
-        .select("event_type", F.col("ts").cast("timestamp").alias("ts"))
-    )
-    tmp = tempfile.mkdtemp(prefix="windowed_counts_parity_")
-    inp, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
-    ev.write.mode("overwrite").parquet(inp)
-    stream = spark.readStream.schema(ev.schema).parquet(inp)
-    q = (
-        windowed_event_counts(
-            stream, group_col="event_type", ts="ts", window="1 hour", watermark="0 seconds"
+    stream, out, ckpt = _parity_stream_events(spark, sf_dir, "windowed")
+    with _utc_drain(spark):
+        # the casts must be CONSTRUCTED inside the pinned-UTC context:
+        # PySpark analyzes each transformation eagerly, and Cast captures
+        # the session timezone at analysis time, not at execution
+        stream = stream.select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+        q = (
+            windowed_event_counts(
+                stream, group_col="event_type", ts="ts", window="1 hour", watermark="0 seconds"
+            )
+            .select(
+                F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+                "n",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .select(
-            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
-            "event_type",
-            "n",
-        )
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.read.parquet(out).orderBy("window_start", "event_type")
 
 
@@ -445,37 +501,36 @@ def q_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity (unix_timestamp); this one compares full-precision
     timestamps because the stateful operator merges on microsecond
     arithmetic — the two rules disagree on fractional-second boundary
-    gaps, so they deliberately do not share SQL."""
-    import tempfile
-
+    gaps, so they deliberately do not share SQL. The drain runs under a
+    pinned-UTC session (:func:`_utc_drain`): the kernel sees
+    session-local naive microseconds while the watermark is UTC-epoch
+    ms, so the finalization cutoff is only oracle-comparable when the
+    two clocks coincide."""
     from entity_extractor_spark.streaming.stateful import sessionize_stream
 
-    ev = (
-        _load(spark, sf_dir, "events")
-        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
-    )
-    tmp = tempfile.mkdtemp(prefix="sessionize_parity_")
-    inp, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
-    ev.write.mode("overwrite").parquet(inp)
-    stream = spark.readStream.schema(ev.schema).parquet(inp)
-    q = (
-        sessionize_stream(
-            stream, key="user_id", ts="ts", gap_seconds=1800, watermark="0 seconds"
+    stream, out, ckpt = _parity_stream_events(spark, sf_dir, "sessionize")
+    with _utc_drain(spark):
+        # casts constructed inside the pinned-UTC context (see
+        # q_windowed_counts_parity: Cast captures the TZ at analysis)
+        stream = stream.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        q = (
+            sessionize_stream(
+                stream, key="user_id", ts="ts", gap_seconds=1800, watermark="0 seconds"
+            )
+            .select(
+                "key",
+                F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+                F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+                "n_events",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .select(
-            "key",
-            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
-            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
-            "n_events",
-        )
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.read.parquet(out).orderBy("key", "session_start")
 
 

@@ -131,6 +131,21 @@ def extract_mentions(
     consumers (dedup window, triple windows, stage write) reuse the
     same clustering instead of re-shuffling; the pipeline's mention
     stage goes from three full shuffles of the mention table to one.
+
+    Skew trade, made explicit: keying the one exchange on conv_id alone
+    concentrates ALL of a conversation's mentions on one task, where
+    the former (conv_id, term_id) flag-window exchange spread a hot
+    conversation across up to n_terms reducers. This is safe for
+    transcripts because a conversation is already the atomic unit of
+    parallelism downstream — the triple stage's lag/lead windows
+    partition by conv_id and would serialize each conversation anyway —
+    and conversation size is bounded by chat length (the synth corpus's
+    hot_conv_factor=50 outlier is ~10^3 turns), NOT by corpus size;
+    contrast entity keys, whose per-key row counts grow with the corpus
+    and are therefore salted (``operators/graph.salted_count``). If a
+    source ever had unbounded per-conversation rows, pass
+    ``repartition_conv=None`` to restore the finer-keyed spread and let
+    AQE skew-split the conv_id stages instead.
     """
     matcher, names = build_matcher_from_gazetteer(gazetteer, include_aliases)
     raw = scan_mentions(transcripts, matcher, names, window_words)

@@ -252,6 +252,17 @@ def decode_wav(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(dec, WAV_DECODED_SCHEMA)
 
 
+def _hex_byte_sql(idx: str) -> str:
+    """SQL for the ``idx``-th (1-based) byte of a hex-string column named
+    ``hx`` — ``strpos`` over the digits '1'..'F' maps '0' to 0 for free.
+    The ONE shared definition of the hex-byte decode used by all four
+    codec oracles (WAV/BMP/AVI/AVI-frames); keeping it single-sourced
+    means a fix to the technique cannot desynchronize one oracle from
+    the others."""
+    hv = "strpos('123456789ABCDEF', substring(hx, {k}, 1))"
+    return f"({hv.format(k=f'2*({idx})-1')} * 16 + {hv.format(k=f'2*({idx})')})"
+
+
 def decode_wav_expected_sql(rel: str, id_col: str = "doc_id", text_col: str = "text") -> str:
     """DuckDB oracle for :func:`wav_payloads` → :func:`decode_wav`:
     predicts the decoded metadata from the source text — bytes via
@@ -260,10 +271,7 @@ def decode_wav_expected_sql(rel: str, id_col: str = "doc_id", text_col: str = "t
     ``(byte-128)*256``, and exact integer sqrt via floor(sqrt(x)) with a
     ±1 adjustment (double sqrt can land one off a perfect square;
     the CASE repairs it so the value equals Python's math.isqrt)."""
-    hv = "strpos('123456789ABCDEF', substring(hx, {k}, 1))"
-
-    def bv(idx: str) -> str:
-        return f"({hv.format(k=f'2*({idx})-1')} * 16 + {hv.format(k=f'2*({idx})')})"
+    bv = _hex_byte_sql
 
     byte_i, byte_j = bv("i"), bv("i+1")
     return f"""(
@@ -404,10 +412,7 @@ def decode_bmp_expected_sql(rel: str, id_col: str = "doc_id", text_col: str = "t
     the hex-byte technique (`decode_wav_expected_sql`) — width/height
     from the byte count, px_sum = 3 * sum(bytes) (grayscale), px_max =
     max byte, zero pixels = black padding + NUL bytes."""
-    hv = "strpos('123456789ABCDEF', substring(hx, {k}, 1))"
-
-    def bv(idx: str) -> str:
-        return f"({hv.format(k=f'2*({idx})-1')} * 16 + {hv.format(k=f'2*({idx})')})"
+    bv = _hex_byte_sql
 
     byte_i = bv("i")
     return f"""(
@@ -657,10 +662,7 @@ def sample_avi_frames_expected_sql(
     predicts every sampled frame's grayscale stats from the source text —
     frame ``fi`` holds source bytes [fi*fpx, (fi+1)*fpx) (0 beyond the
     text: black tail padding), ts from the fixed container frame rate."""
-    hv = "strpos('123456789ABCDEF', substring(hx, {k}, 1))"
-
-    def bv(idx: str) -> str:
-        return f"({hv.format(k=f'2*({idx})-1')} * 16 + {hv.format(k=f'2*({idx})')})"
+    bv = _hex_byte_sql
 
     byte_i = bv("i")
     return f"""(
@@ -702,10 +704,7 @@ def decode_avi_expected_sql(rel: str, id_col: str = "doc_id", text_col: str = "t
     black padding adds 0), px_max = max byte, and motion = 3 * sum of
     |byte(i) - byte(i + frame_px)| over consecutive-frame pixel pairs
     (bytes beyond the text read as 0 — the black tail padding)."""
-    hv = "strpos('123456789ABCDEF', substring(hx, {k}, 1))"
-
-    def bv(idx: str) -> str:
-        return f"({hv.format(k=f'2*({idx})-1')} * 16 + {hv.format(k=f'2*({idx})')})"
+    bv = _hex_byte_sql
 
     byte_i = bv("i")
     byte_pad = f"CASE WHEN i <= nb THEN {byte_i} ELSE 0 END"

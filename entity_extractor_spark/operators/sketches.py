@@ -64,10 +64,20 @@ def kmv_distinct(
     price of that n_exact column — this is the VERIFICATION twin. The
     form you run at 100 TB is :func:`kmv_sketch_only` (bounded
     per-partition partials, one merge groupBy, bit-identical estimate).
+
+    NULL values are excluded from the distinct universe — standard SQL
+    ``COUNT(DISTINCT)`` semantics. (Counting them would also be
+    cross-engine-fragile: a NULL hashes to a NULL rank key, and Spark
+    sorts NULLs first in an ascending window while DuckDB sorts them
+    last, so the k-th smallest hash would silently differ; the explicit
+    filter here and the ``val IS NOT NULL`` in the SQL twin pin ONE
+    semantic, the one :func:`kmv_partials` already applies.)
     """
     vc = F.col(value_col) if isinstance(value_col, str) else value_col
-    dv = df.select(F.col(group_col).alias("grp"), vc.alias("val")).dropDuplicates(
-        ["grp", "val"]
+    dv = (
+        df.select(F.col(group_col).alias("grp"), vc.alias("val"))
+        .filter(F.col("val").isNotNull())
+        .dropDuplicates(["grp", "val"])
     )
     # n_exact counts distinct VALUES (pre-hash) — counting distinct hashes
     # instead would silently undercount on a 60-bit prefix collision, and
@@ -157,7 +167,8 @@ def kmv_sketch_only(
     10^4 partitions -> ~2.6 MB worst case — if that ever mattered, an
     intermediate repartition + re-summarize level makes the merge a
     tree). The estimate is bit-identical to ``kmv_distinct``'s
-    ``kmv_estimate`` (parity-tested), because the merged k+1-sketch
+    ``kmv_estimate`` (parity-tested, including NULL-bearing inputs —
+    both forms exclude NULL values), because the merged k+1-sketch
     determines both the \"<= k distinct\" lossless case and the k-th
     smallest hash exactly."""
     cap = k + 1
@@ -287,7 +298,7 @@ def heavy_hitters_sql(rel: str = "documents", support: float = HH_SUPPORT) -> st
 def kmv_distinct_sql(rel: str, group_col: str, k: int = KMV_K) -> str:
     """DuckDB twin of :func:`kmv_distinct`; ``rel`` must yield columns
     ``grp`` and ``val`` (pre-exploded)."""
-    return f"""WITH _kmv_dv AS (SELECT DISTINCT grp, val FROM ({rel})),
+    return f"""WITH _kmv_dv AS (SELECT DISTINCT grp, val FROM ({rel}) WHERE val IS NOT NULL),
         _kmv_ne AS (SELECT grp, count(*) AS n_exact FROM _kmv_dv GROUP BY grp),
         _kmv_h AS (SELECT DISTINCT grp, {_hval_sql('val')} AS h FROM _kmv_dv),
         _kmv_r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM _kmv_h),

@@ -245,6 +245,7 @@ def test_kmv_sketch_only_estimate_parity(spark):
     for grp, n in [("below", 10), ("at_k", KMV_K), ("above", KMV_K + 1), ("far", 500)]:
         rows += [(grp, f"{grp}-v{i}") for i in range(n)]
         rows += [(grp, f"{grp}-v0")] * 3  # duplicates must not matter
+        rows += [(grp, None)] * 2  # NULL values are outside the distinct universe
     df = spark.createDataFrame(rows, "grp string, val string")
     exact = {
         r["grp"]: r["kmv_estimate"] for r in kmv_distinct(df, "grp", "val").collect()
@@ -257,6 +258,34 @@ def test_kmv_sketch_only_estimate_parity(spark):
         assert sk == exact, (parts, sk, exact)
     assert exact["below"] == 10.0 and exact["at_k"] == float(KMV_K)
     assert exact["above"] != float(KMV_K + 1)  # estimator regime engaged
+
+
+def test_kmv_null_values_excluded_both_engines(spark):
+    """NULL values are excluded from the distinct universe (SQL
+    COUNT(DISTINCT) semantics) by BOTH the Spark plan and the DuckDB
+    twin. Counting them would be cross-engine-fragile anyway: a NULL
+    hash ranks FIRST in Spark's ascending window but LAST in DuckDB's,
+    so above k the two engines would disagree on the k-th smallest
+    hash — the filter pins one semantic."""
+    import duckdb
+
+    from entity_extractor_spark.operators.sketches import KMV_K, kmv_distinct_sql
+
+    n = KMV_K + 20  # estimator regime, where the NULL rank would shift hk
+    rows = [("g", f"value-{i}") for i in range(n)] + [("g", None)] * 3
+    df = spark.createDataFrame(rows, "grp string, val string")
+    got = kmv_distinct(df, "grp", "val").collect()[0]
+    assert got["n_exact"] == n
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE kv AS SELECT * FROM (VALUES "
+        + ", ".join(f"('g', 'value-{i}')" for i in range(n))
+        + ", ('g', NULL), ('g', NULL), ('g', NULL)) t(grp, val)"
+    )
+    oracle = con.execute(kmv_distinct_sql("SELECT * FROM kv", "grp")).fetchone()
+    assert oracle[1] == n
+    assert oracle[2] == got["kmv_estimate"]
 
 
 def test_kmv_partials_state_is_bounded(spark):

@@ -219,3 +219,39 @@ def test_windowed_event_counts_watermark(spark, tmp_path):
         ("2026-01-01 10:00:00", 2, 1),
         ("2026-01-01 11:00:00", 1, 1),
     }
+
+
+def test_parity_keys_match_oracle_under_non_utc_timezone(spark):
+    """The streaming parity contract keys must hash-match their DuckDB
+    oracles under a NON-UTC caller session: the window/sessionize keys
+    pin the drain to UTC via contract.curation._utc_drain (F.window
+    aligns to UTC-epoch boundaries and the sessionizer's watermark is
+    UTC-epoch ms, while the oracles compute on naive timestamps), and
+    the dedup key's key-set output is shift-invariant by construction.
+    Also asserts the caller's timezone survives the drain (the context
+    restores it)."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from entity_extractor_spark.contract.compare import compare_frames
+    from entity_extractor_spark.io.sources import TPCH_TABLES
+
+    sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")  # +05:30
+    try:
+        for key in ("dedup_stream_parity", "windowed_counts_parity", "sessionize_parity"):
+            got = qs[key](spark, sf).toPandas()
+            exp = con.execute(oracles[key]).df()
+            err = compare_frames(got, exp, key)
+            assert err is None, err
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Kolkata"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+        con.close()
