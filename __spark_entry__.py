@@ -397,18 +397,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # each green in BOTH CORRECTNESS_r02.json and CORRECTNESS_r03.json:
 # semi_join, anti_join, except_keys, percent_of_total, stats. After this
 # window lands, every contract key has >=1 green driver row cumulatively.
-# ROUND-5 ROTATION PLAN: kmv_sketch (bounded-state KMV merge form),
-# dedup_stream_parity (streaming dedup ≡ batch DISTINCT),
-# windowed_counts_parity (watermarked tumbling-window agg ≡ batch hourly
-# counts under the append-mode finalization predicate), avi_decode and
-# avi_frames (REAL uncompressed-AVI video codec round trip + per-frame
-# sampling — the last modality, added late round 4), and
-# sessionize_parity (custom applyInPandasWithState sessionizer ≡ batch
-# islands oracle under the ms-floored watermark), all added after the
-# round-4 window froze and local-replica green at sf0.001 + sf0.01,
-# rotate IN; rotate out six keys green in BOTH r03 and r04 once
-# CORRECTNESS_r04.json lands (e.g. join_agg, window_topk, dedup_keys,
-# broadcast_join, conv_digest, asof_join).
+# LATE-ROUND-4 ROTATION (executed before the r04 window froze, so the
+# full contract-key set closes THIS round instead of round 5):
+# kmv_sketch (bounded-state KMV merge form), dedup_stream_parity
+# (streaming dedup ≡ batch DISTINCT), windowed_counts_parity
+# (watermarked tumbling-window agg ≡ batch hourly counts under the
+# append-mode finalization predicate), sessionize_parity (custom
+# applyInPandasWithState sessionizer ≡ batch islands oracle under the
+# ms-floored watermark), avi_decode and avi_frames (REAL
+# uncompressed-AVI video codec round trip + per-frame sampling — the
+# last modality) rotate IN, each verified green via the driver-replica
+# checker (tools/check_contract.py) at sf0.001 AND sf0.01 with stable
+# reruns. Rotating out, each green in BOTH CORRECTNESS_r02.json and
+# CORRECTNESS_r03.json: join_agg, window_topk, dedup_keys,
+# broadcast_join, conv_digest, asof_join. After this window lands
+# green, EVERY contract key (106/106) has >=1 green driver row
+# cumulatively — no round-5 backlog.
 PRIORITY_KEYS = [
     # core SURVEY §2 set (round-1 gap: no driver row); value_counts /
     # bool_sum / union_distinct went green in r02 and rotate out for the
@@ -418,9 +422,8 @@ PRIORITY_KEYS = [
     # (round-3 addition, no driver history)
     "mention_counts", "mention_flags", "context_window", "exact_token_match",
     "keyword_hits", "composite_likelihood",
-    "topk_groups", "join_agg", "broadcast_join",
-    "window_lag", "window_topk",
-    "dedup_keys",
+    "topk_groups",
+    "window_lag",
     # flagship KG keys that fell outside the round-1 window
     "cc_components", "graph_edges", "likelihood_filter", "predicate_triples",
     # round-2 fixes (previously hash-fail / rows-only / new)
@@ -446,11 +449,16 @@ PRIORITY_KEYS = [
     "ann_sq8_topk", "contamination",
     "dup_clusters", "repetition_signals", "heavy_hitters", "pii_scrub",
     # kernel / grouped / temporal flagships
-    "conv_digest", "asof_join", "interval_join",
+    "interval_join",
     # round-4 rotation: first driver rows for the four post-r03-window
     # additions plus the round-4 real image codec
     "link_prediction", "wav_decode", "fuzzy_name_pairs", "indexed_search",
     "bmp_decode",
+    # late-round-4 rotation: bounded-state sketch merge form, the three
+    # streaming batch-parity keys, and the real AVI video codec — first
+    # driver rows, closing the full 106-key set this round
+    "kmv_sketch", "dedup_stream_parity", "windowed_counts_parity",
+    "sessionize_parity", "avi_decode", "avi_frames",
 ]
 
 
