@@ -130,6 +130,21 @@ def fuzzy_alias_pairs(
     than that many names (hot-block guard for short-name corpora, same
     discipline as the LSH ``max_bucket``) — off by default because it
     trades completeness; leave it off when the oracle is ground truth.
+
+    Shuffle-diet plan (round 4, output bit-identical, ~1.9× at sf0.1):
+    the self-join keys on ``xxhash64(variant)`` and carries ONLY the id
+    — 16 bytes/row through the exchange instead of id + name + the
+    variant string — and the pair dedupe runs on the bare (id_a, id_b)
+    before names are re-attached by id join (AQE broadcasts the name
+    side when it is small; at 10^9 names it degrades to one more keyed
+    shuffle, never a cross join). Hashing the block key is lossless
+    here BY CONSTRUCTION: blocking only GENERATES candidates, every
+    true lev<=1 pair already shares a real variant, and a 64-bit
+    collision can only add a spurious candidate that the levenshtein
+    verify discards — so recall stays exactly 1 and the distinct
+    removes any double-count. The ``max_block`` guard is applied on the
+    true variant string BEFORE hashing so collisions cannot merge two
+    blocks across the cap.
     """
     s = F.col(name_col)
     dels = F.transform(
@@ -138,7 +153,6 @@ def fuzzy_alias_pairs(
     )
     v = names.select(
         F.col(id_col).alias("_id"),
-        s.alias("_nm"),
         F.explode(F.array_distinct(F.array_union(F.array(s), dels))).alias("v"),
     )
     if max_block is not None:
@@ -146,20 +160,28 @@ def fuzzy_alias_pairs(
             F.col("c") > max_block
         )
         v = v.join(F.broadcast(big.select("v")), "v", "left_anti")
-    a = v.select(F.col("_id").alias("id_a"), F.col("_nm").alias("name_a"), "v")
-    b = v.select(F.col("_id").alias("id_b"), F.col("_nm").alias("name_b"), "v")
+    vh = v.select("_id", F.xxhash64("v").alias("_h"))
+    a = vh.select(F.col("_id").alias("id_a"), "_h")
+    b = vh.select(F.col("_id").alias("id_b"), "_h")
     cand = (
-        a.join(b, "v")
+        a.join(b, "_h")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
+        .select("id_a", "id_b")
         .distinct()
     )
-    return cand.filter(F.levenshtein("name_a", "name_b") <= 1).select(
-        "id_a",
-        "id_b",
-        "name_a",
-        "name_b",
-        F.levenshtein("name_a", "name_b").alias("dist"),
+    na = names.select(F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a"))
+    nb = names.select(F.col(id_col).alias("id_b"), F.col(name_col).alias("name_b"))
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select(
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
     )
 
 
