@@ -411,8 +411,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # reruns. Rotating out, each green in BOTH CORRECTNESS_r02.json and
 # CORRECTNESS_r03.json: join_agg, window_topk, dedup_keys,
 # broadcast_join, conv_digest, asof_join. After this window lands
-# green, EVERY contract key (106/106) has >=1 green driver row
+# green, EVERY contract key (111/111) has >=1 green driver row
 # cumulatively — no round-5 backlog.
+# SECOND LATE-ROUND-4 ROTATION (same session discipline — every key
+# added this round rotates in this round): the four backlog operators
+# pulled forward from the round-5 plan land as five keys —
+# quantile_sketch + quantile_merge (bottom-k mergeable quantile
+# sketch, twin + bounded merge form), weighted_sample (deterministic
+# A-Res weighted reservoir, bounded partial+merge vs naive window-rank
+# oracle), contamination_bloom (Bloom-pruned decontamination, same
+# oracle as `contamination`), hh_stream_parity (streaming Misra-Gries
+# in applyInPandasWithState, recount ≡ batch `heavy_hitters`). Each
+# verified green via tools/check_contract.py at sf0.001 AND sf0.01.
+# Rotating out, each green in BOTH r02 and r03 (and r01):
+# scored_candidates, sequence_packing, multimodal_report,
+# minhash_lsh_pairs, simhash_fingerprint.
 PRIORITY_KEYS = [
     # core SURVEY §2 set (round-1 gap: no driver row); value_counts /
     # bool_sum / union_distinct went green in r02 and rotate out for the
@@ -427,15 +440,14 @@ PRIORITY_KEYS = [
     # flagship KG keys that fell outside the round-1 window
     "cc_components", "graph_edges", "likelihood_filter", "predicate_triples",
     # round-2 fixes (previously hash-fail / rows-only / new)
-    "scored_candidates", "sequence_packing", "multimodal_report", "salted_collect",
+    "salted_collect",
     # training-data curation suite (first-class per the judge); keys green
     # in BOTH r01 and r02 rotate out for the round-3 additions:
     # dedup_exact, minhash_signature, ngram_jaccard_pairs, simhash_pairs,
     # ann_brute_topk, exact_mode_scan, tfidf_topk, lang_id_counts;
     # quality_scores (green in r01 AND r02) rotates out for khop_neighbors
     # (round-3 addition, no driver history)
-    "minhash_lsh_pairs",
-    "simhash_fingerprint", "embedding_dups_lsh",
+    "embedding_dups_lsh",
     "ann_lsh_topk", "ann_ivf_topk",
     "multimodal_meta",
     # round-3 rotation: first-ever driver rows for the three round-2 additions
@@ -456,9 +468,15 @@ PRIORITY_KEYS = [
     "bmp_decode",
     # late-round-4 rotation: bounded-state sketch merge form, the three
     # streaming batch-parity keys, and the real AVI video codec — first
-    # driver rows, closing the full 106-key set this round
+    # driver rows, closing the full 111-key set this round
     "kmv_sketch", "dedup_stream_parity", "windowed_counts_parity",
     "sessionize_parity", "avi_decode", "avi_frames",
+    # second late-round-4 rotation: the round-5 backlog pulled forward —
+    # mergeable quantile sketch (twin + bounded merge form), A-Res
+    # weighted reservoir, Bloom-pruned decontamination, streaming
+    # Misra-Gries batch parity — first driver rows
+    "quantile_sketch", "quantile_merge", "weighted_sample",
+    "contamination_bloom", "hh_stream_parity",
 ]
 
 

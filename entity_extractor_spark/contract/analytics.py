@@ -20,7 +20,12 @@ from entity_extractor_spark.operators import graph_algos as G
 from entity_extractor_spark.operators import simsearch as S
 from entity_extractor_spark.operators.decontam import (
     contamination_report,
+    contamination_report_bloom,
     contamination_report_sql,
+)
+from entity_extractor_spark.operators.sampling import (
+    weighted_sample,
+    weighted_sample_sql,
 )
 from entity_extractor_spark.operators.sketches import (
     heavy_hitters,
@@ -28,6 +33,9 @@ from entity_extractor_spark.operators.sketches import (
     kmv_distinct,
     kmv_distinct_sql,
     kmv_sketch_only,
+    quantile_sketch,
+    quantile_sketch_merged,
+    quantile_sketch_sql,
 )
 
 KMV_SHINGLE_N = 3
@@ -197,6 +205,48 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(_load(spark, sf_dir, "documents")).orderBy("token")
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k-sample quantile sketch, verification twin: exact
+    nearest-rank doc-length quantiles per language next to the
+    hash-sample estimates (operators/sketches.quantile_sketch)."""
+    d = _load(spark, sf_dir, "documents")
+    return quantile_sketch(
+        d, "lang", F.length(F.col("text")), "doc_id"
+    ).orderBy("lang")
+
+
+def q_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-state merge form: per-partition bottom-k partials +
+    one merge groupBy — no exact twin, no full-group sort. The oracle is
+    quantile_sketch's estimate columns: the merged sample must reproduce
+    them bit-exactly."""
+    d = _load(spark, sf_dir, "documents")
+    return quantile_sketch_merged(
+        d, "lang", F.length(F.col("text")), "doc_id"
+    ).orderBy("lang")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A-Res weighted reservoir (k per language,
+    length-weighted): the engine plan is the bounded partial+merge
+    top-k; the oracle is the naive full window rank over the same
+    priority — the hash match proves the bounded form loses no row."""
+    d = _load(spark, sf_dir, "documents")
+    return weighted_sample(
+        d, "lang", "doc_id", F.length(F.col("text"))
+    ).orderBy("lang", "id")
+
+
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned decontamination: same train/bench split — and the
+    SAME oracle SQL — as `contamination`; the Bloom bitmap + exact
+    verify must change nothing but the data volume."""
+    d = _load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < BENCH_DOC_MAX_ID)
+    train = d.filter(F.col("doc_id") >= BENCH_DOC_MAX_ID)
+    return contamination_report_bloom(train, bench, n=DECONTAM_N).orderBy("doc_id")
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") < BENCH_DOC_MAX_ID)
@@ -216,6 +266,10 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "ann_sq8_topk": q_ann_sq8_topk,
     "contamination": q_contamination,
+    "quantile_sketch": q_quantile_sketch,
+    "quantile_merge": q_quantile_merge,
+    "weighted_sample": q_weighted_sample,
+    "contamination_bloom": q_contamination_bloom,
 }
 
 
@@ -283,6 +337,33 @@ def _oracles() -> dict[str, str]:
             + ")\nORDER BY lang"
         ),
         "heavy_hitters": heavy_hitters_sql("documents"),
+        "quantile_sketch": quantile_sketch_sql(
+            "SELECT lang AS grp, length(text) AS val, CAST(doc_id AS VARCHAR) AS key"
+            " FROM documents",
+            "lang",
+        )
+        + "\nORDER BY lang",
+        "quantile_merge": (
+            "SELECT lang, q50_est, q90_est FROM ("
+            + quantile_sketch_sql(
+                "SELECT lang AS grp, length(text) AS val,"
+                " CAST(doc_id AS VARCHAR) AS key FROM documents",
+                "lang",
+            )
+            + ")\nORDER BY lang"
+        ),
+        "weighted_sample": weighted_sample_sql(
+            "SELECT lang AS grp, CAST(doc_id AS VARCHAR) AS id, length(text) AS w"
+            " FROM documents",
+            "lang",
+        )
+        + "\nORDER BY lang, id",
+        "contamination_bloom": contamination_report_sql(
+            f"SELECT doc_id, text FROM documents WHERE doc_id >= {BENCH_DOC_MAX_ID}",
+            f"SELECT doc_id, text FROM documents WHERE doc_id < {BENCH_DOC_MAX_ID}",
+            n=DECONTAM_N,
+        )
+        + "\nORDER BY doc_id",
         "ann_sq8_topk": sq8_cte,
         "contamination": contamination_report_sql(
             f"SELECT doc_id, text FROM documents WHERE doc_id >= {BENCH_DOC_MAX_ID}",

@@ -12,6 +12,7 @@ from entity_extractor_spark.functions import text as T
 from entity_extractor_spark.operators import dedup as D
 from entity_extractor_spark.operators import simsearch as S
 from entity_extractor_spark.operators import textstats as X
+from entity_extractor_spark.operators.sketches import heavy_hitters_sql as _hh_sql
 
 EMB_DIM = 64
 ANN_QUERY_MAX_ID = 10
@@ -347,9 +348,9 @@ def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _parity_stream_events(spark: SparkSession, sf_dir: str, key: str):
+def _parity_stream_table(spark: SparkSession, sf_dir: str, key: str, table: str):
     """(stream, out_path, ckpt_path) for a streaming parity drain: the
-    events parquet is readStream'd in place when it is a directory, or
+    table's parquet is readStream'd in place when it is a directory, or
     via a SYMLINK into the scratch dir when it is a single file
     (FileStreamSource requires a directory source) — never a batch
     rewrite of the input. Sink + checkpoint live in a DETERMINISTIC
@@ -363,7 +364,7 @@ def _parity_stream_events(spark: SparkSession, sf_dir: str, key: str):
     import shutil
     import tempfile
 
-    path = f"{sf_dir}/events.parquet"
+    path = f"{sf_dir}/{table}.parquet"
     schema = spark.read.parquet(path).schema
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     tmp = os.path.join(tempfile.gettempdir(), f"ee_spark_parity_{key}_{tag}")
@@ -371,9 +372,13 @@ def _parity_stream_events(spark: SparkSession, sf_dir: str, key: str):
     src = path
     if not os.path.isdir(path):
         os.makedirs(f"{tmp}/in")
-        os.symlink(os.path.abspath(path), f"{tmp}/in/events.parquet")
+        os.symlink(os.path.abspath(path), f"{tmp}/in/{table}.parquet")
         src = f"{tmp}/in"
     return spark.readStream.schema(schema).parquet(src), f"{tmp}/out", f"{tmp}/ckpt"
+
+
+def _parity_stream_events(spark: SparkSession, sf_dir: str, key: str):
+    return _parity_stream_table(spark, sf_dir, key, "events")
 
 
 def _utc_drain(spark: SparkSession):
@@ -534,6 +539,42 @@ def q_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).orderBy("key", "session_start")
 
 
+def q_hh_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch parity for the streaming Misra-Gries heavy-hitter pass
+    (`streaming/stateful.py: heavy_hitters_stream`): drain the documents
+    table through the REAL stateful operator — file source -> per-shard
+    MG summaries in applyInPandasWithState state -> event-time-timeout
+    flush -> parquet sink under Trigger.AvailableNow — then feed the
+    emitted candidate set to the shared exact recount
+    (`operators/sketches.hh_recount`). The MG superset guarantee holds
+    per (shard, epoch), so the recounted result must equal the batch
+    `heavy_hitters` key exactly — the oracle IS the same exact SQL.
+    Event time is a constant epoch stamp (the corpus has no timestamps;
+    with delay 0 the post-drain no-data micro-batch advances the
+    watermark past it and flushes every summary). No _utc_drain: the
+    watermark arithmetic is epoch-ms and nothing temporal is emitted."""
+    from entity_extractor_spark.operators.sketches import hh_recount
+    from entity_extractor_spark.streaming.stateful import heavy_hitters_stream
+
+    stream, out, ckpt = _parity_stream_table(spark, sf_dir, "hhstream", "documents")
+    stream = stream.select(
+        "doc_id", "text", F.timestamp_seconds(F.lit(1000)).alias("ts")
+    )
+    q = (
+        heavy_hitters_stream(stream, ts="ts", watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cands = spark.read.parquet(out)
+    docs = _load(spark, sf_dir, "documents")
+    return hh_recount(docs, cands).orderBy("token")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
@@ -570,6 +611,7 @@ QUERIES = {
     "dedup_stream_parity": q_dedup_stream_parity,
     "windowed_counts_parity": q_windowed_counts_parity,
     "sessionize_parity": q_sessionize_parity,
+    "hh_stream_parity": q_hh_stream_parity,
 }
 
 
@@ -1071,6 +1113,10 @@ def _oracles() -> dict[str, str]:
             WHERE session_end + INTERVAL 1800 SECOND < wm
             ORDER BY key, session_start
         """,
+        # the streaming MG pass is only a candidate generator — the final
+        # recounted output must equal the batch heavy-hitter set exactly,
+        # so the oracle IS the same exact SQL as the `heavy_hitters` key
+        "hh_stream_parity": _hh_sql("documents"),
         # pair graph = the minhash-LSH pipeline at DUP_CLUSTER_T (guard
         # mirrored), clusters = transitive closure (the recursive-CTE twin
         # of the pointer-jumping CC), representative = min doc_id

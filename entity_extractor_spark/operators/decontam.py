@@ -18,6 +18,8 @@ guards (stop-shingle max_df, if ever needed) apply.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -58,6 +60,107 @@ def contamination_report(
     tr = _shingle_set(train, id_col, n)
     hits = (
         tr.join(bench, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    return (
+        train.select(id_col)
+        .dropDuplicates([id_col])
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
+            (F.coalesce("n_shared_shingles", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+BLOOM_M_BITS = 1 << 17  # 16 KiB bit array
+BLOOM_HASHES = 4
+
+
+def _h2(col):
+    """Second independent 60-bit hash (md5 hex chars 16..30), forced odd
+    so the double-hashing probe sequence h1 + j*h2 cycles the full
+    power-of-two bit space (Kirsch-Mitzenmacher)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 16, 15), 16, 10)
+        .cast("long")
+        .bitwiseOR(F.lit(1))
+    )
+
+
+def contamination_report_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = SHINGLE_N,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    m_bits: int = BLOOM_M_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Same report as :func:`contamination_report`, Bloom-pruned: the
+    corpus-wide membership probe broadcasts an ``m_bits``-bit array
+    (16 KiB at the default) instead of the full benchmark shingle-string
+    set — at a 100 TB train corpus against a large eval battery, that
+    turns a multi-hundred-MB broadcast into a fixed-size bitmap held once
+    per executor. The probe is a pure map-side filter (JVM computes both
+    md5-derived hashes in codegen; Python does only the vectorized
+    numpy bitmap gather); Bloom false positives are then killed by an
+    exact join against the benchmark shingles, which now sees only the
+    pruned sliver of the train side instead of the whole corpus — so it
+    no longer needs the broadcast, a plain partitioned join carries it.
+    The output is therefore EXACT and identical to
+    :func:`contamination_report` (same oracle SQL — the hash match
+    proves the prune loses nothing), Bloom only shrinks the volume.
+
+    Bit positions are set from the same double-hashing sequence on both
+    sides (bench build in Catalyst, train probe in numpy), so the filter
+    admits every true shared shingle by construction.
+    """
+    from entity_extractor_spark.functions.hashing import token_hash
+
+    spark = train.sparkSession
+    bench_sh = benchmark.select(
+        F.explode(T.word_shingles(T.tokenize(F.col("text")), n)).alias("shingle")
+    ).dropDuplicates(["shingle"])
+    pos_cols = F.array(
+        *[
+            F.pmod(F.col("h1") + F.lit(j) * F.col("h2"), F.lit(m_bits))
+            for j in range(n_hashes)
+        ]
+    )
+    # distinct bit positions are bounded by m_bits (not by benchmark
+    # size) — the one collect here is <= m_bits ints
+    pos_rows = (
+        bench_sh.select(
+            token_hash(F.col("shingle")).alias("h1"), _h2(F.col("shingle")).alias("h2")
+        )
+        .select(F.explode(pos_cols).alias("pos"))
+        .distinct()
+        .collect()
+    )
+    bloom = bytearray(m_bits // 8)
+    for (p,) in pos_rows:
+        bloom[p >> 3] |= 1 << (p & 7)
+    bc = spark.sparkContext.broadcast(bytes(bloom))
+
+    @F.pandas_udf("boolean")
+    def _probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        h1v, h2v = h1.values, h2.values
+        ok = np.ones(len(h1v), dtype=bool)
+        for j in range(n_hashes):
+            pos = (h1v + j * h2v) % m_bits
+            ok &= ((arr[pos >> 3] >> (pos & 7)) & 1).astype(bool)
+        return pd.Series(ok)
+
+    tr = _shingle_set(train, id_col, n)
+    pruned = tr.filter(
+        _probe(token_hash(F.col("shingle")), _h2(F.col("shingle")))
+    )
+    hits = (
+        pruned.join(bench_sh, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )

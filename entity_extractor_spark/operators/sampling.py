@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from entity_extractor_spark.functions.hashing import token_hash
+from entity_extractor_spark.functions.hashing import token_hash, token_hash_sql
 from entity_extractor_spark.operators.textstats import token_counts
 
 SAMPLE_MOD = 10_000
@@ -87,6 +87,140 @@ def split_report(df: DataFrame, key: str, by: str | None = None) -> DataFrame:
     cols = ([by] if by else []) + ["split"]
     out = df.withColumn("split", assign_split(F.col(key)))
     return out.groupBy(*cols).agg(F.count(F.lit(1)).alias("n")).orderBy(*cols)
+
+
+WRS_K = 16
+_WRS_SPACE = float(1 << 60)  # token_hash range; (h+1)/2^60 is a uniform in (0,1]
+
+
+def _ares_key(h, w):
+    """A-Res priority (Efraimidis & Spirakis 2006): the weighted
+    reservoir keeps the k items with the largest u^(1/w), u ~ U(0,1).
+    We rank by the monotone-equivalent ln(u)/w (u in (0,1] so ln(u) <= 0
+    — larger is better on both forms) to stay in well-conditioned double
+    range, and derive u deterministically from the row key's content
+    hash, so the sample is reproducible on any engine, any partitioning,
+    any cluster size — same property as :func:`deterministic_sample`,
+    extended to weighted (importance) sampling, the data-mixing
+    primitive for quality-weighted corpus selection."""
+    u = (h + F.lit(1)).cast("double") / F.lit(_WRS_SPACE)
+    return F.log(u) / w.cast("double")
+
+
+def _wrs_base(df: DataFrame, group_col: str, key_col: str, weight_col) -> DataFrame:
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(key_col).cast("string").alias("id"),
+            wc.cast("long").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .withColumn("akey", _ares_key(token_hash(F.col("id")), F.col("w")))
+    )
+
+
+def weighted_sample_partials(
+    df: DataFrame, group_col: str, key_col: str, weight_col, k: int = WRS_K
+) -> DataFrame:
+    """Per-partition A-Res reservoir: for each group, the k rows with the
+    largest priority keys seen in that partition, via a bounded min-heap
+    — a pure map stage with at most k rows of state per (partition,
+    group). The priority is computed JVM-side (whole-stage codegen md5 +
+    ln) before the kernel; Python only maintains the heap. The union of
+    per-partition reservoirs contains the global top-k (ties on the
+    float key are measure-zero for distinct 60-bit hashes), which is
+    what makes the merged sample exact."""
+    import heapq
+
+    import pandas as pd
+
+    base = _wrs_base(df, group_col, key_col, weight_col)
+    grp_type = base.schema["grp"].dataType.simpleString()
+
+    def summarize(batches):
+        kept: dict = {}  # grp -> min-heap of (akey, id, w)
+        for pdf in batches:
+            for g, i, w, a in zip(
+                pdf["grp"].values, pdf["id"].values, pdf["w"].values, pdf["akey"].values
+            ):
+                heap = kept.get(g)
+                if heap is None:
+                    heap = kept[g] = []
+                item = (float(a), str(i), int(w))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heappushpop(heap, item)
+        yield pd.DataFrame(
+            {
+                "grp": [g for g, heap in kept.items() for _ in heap],
+                "id": [i for _, heap in kept.items() for _, i, _w in heap],
+                "w": [w for _, heap in kept.items() for _a, _i, w in heap],
+                "akey": [a for _, heap in kept.items() for a, _i, _w in heap],
+            }
+        )
+
+    return base.select("grp", "id", "w", "akey").mapInPandas(
+        summarize, f"grp {grp_type}, id string, w long, akey double"
+    )
+
+
+def weighted_sample(
+    df: DataFrame, group_col: str, key_col: str, weight_col, k: int = WRS_K
+) -> DataFrame:
+    """Deterministic weighted (A-Res) sample of k rows per group —
+    P(row in sample) proportional to its weight, membership fixed by
+    content hash. The engine plan IS the bounded two-phase form:
+    per-partition reservoirs (:func:`weighted_sample_partials`, <= k rows
+    of state each) merged by one groupBy that keeps the k
+    highest-priority rows of the union — the exchange carries at most
+    k rows per (map partition, group) regardless of input size, the
+    100 TB shape for per-group top-k. The float priority never leaves
+    the plan: output is the (group, id, weight) set, ordered by id
+    downstream. The SQL twin (:func:`weighted_sample_sql`) is the naive
+    full window rank — the hash match proves the bounded form loses no
+    row."""
+    merged = (
+        weighted_sample_partials(df, group_col, key_col, weight_col, k)
+        .groupBy("grp")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("akey")).alias("nak"), F.col("id"), F.col("w")
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+    )
+    return merged.select(
+        F.col("grp").alias(group_col), F.explode("top").alias("x")
+    ).select(
+        group_col, F.col("x.id").alias("id"), F.col("x.w").alias("w")
+    )
+
+
+def weighted_sample_sql(rel: str, group_col: str, k: int = WRS_K) -> str:
+    """DuckDB twin of :func:`weighted_sample`; ``rel`` must yield columns
+    ``grp``, ``id`` (string), ``w`` (integral). Naive form: full window
+    rank over the same deterministic A-Res priority."""
+    h = token_hash_sql("id")
+    return f"""WITH _ws_b AS (
+          SELECT grp, id, CAST(w AS BIGINT) AS w,
+                 ln(CAST({h} + 1 AS DOUBLE) / {_WRS_SPACE!r}) / CAST(w AS DOUBLE) AS akey
+          FROM ({rel}) WHERE w > 0
+        ),
+        _ws_r AS (
+          SELECT grp, id, w,
+                 row_number() OVER (PARTITION BY grp ORDER BY akey DESC, id) AS rn
+          FROM _ws_b
+        )
+        SELECT grp AS {group_col}, id, w FROM _ws_r WHERE rn <= {k}"""
 
 
 N_PACK_SHARDS = 32

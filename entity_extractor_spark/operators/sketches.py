@@ -186,7 +186,258 @@ def kmv_sketch_only(
     )
 
 
+QS_K = 64
+# (name, numerator, denominator) — quantiles as exact rationals so the
+# nearest-rank index ceil(q*m) is pure integer arithmetic on both engines
+# (a double 0.9*m can land a hair above the integer and ceil past it;
+# consistent cross-engine, but integer math removes the question)
+QS_QUANTILES = (("q50", 1, 2), ("q90", 9, 10))
+
+
+def _qrank(num: int, den: int, m):
+    """Nearest-rank (type-1) index ceil(num/den * m) as a Column, via
+    integer ceil-division floor((num*m + den - 1)/den); clamped >= 1 so an
+    m=0 group (impossible after the null filter, but cheap) stays in
+    bounds. The double division is exact for any m < 2^50."""
+    return F.greatest(
+        F.lit(1), F.floor((F.lit(num) * m + F.lit(den - 1)) / F.lit(den))
+    ).cast("int")
+
+
+def _qrank_sql(num: int, den: int, m: str) -> str:
+    return f"greatest(1, CAST(floor(({num} * {m} + {den - 1}) / {den}.0) AS INTEGER))"
+
+
+def _q_est_cols(sample_sorted, qs):
+    """Per-quantile value picks from a value-sorted sample array."""
+    m = F.size(sample_sorted)
+    return [
+        F.element_at(sample_sorted, _qrank(num, den, m)).alias(f"{name}_est")
+        for name, num, den in qs
+    ]
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    key_col: str,
+    k: int = QS_K,
+    qs=QS_QUANTILES,
+) -> DataFrame:
+    """Per-group exact quantiles + bottom-k-sample estimates — the KMV
+    trick applied to order statistics (Cohen & Kaplan's bottom-k sample):
+    hash each row's key, keep the k rows with the smallest hashes (a
+    uniform without-replacement row sample that is deterministic,
+    partitioning-independent, and MERGEABLE — the bottom-k of a union is
+    the bottom-k of the per-part bottom-k's), and read nearest-rank
+    quantiles off the sample next to the exact ones.
+
+    This is the VERIFICATION twin (like :func:`kmv_distinct`): the exact
+    columns force a full per-group sort, so the contract row documents
+    estimator error and both engines hash-match. The 100 TB form is
+    :func:`quantile_sketch_merged` — bounded per-partition partials, one
+    merge groupBy, bit-identical estimates.
+
+    Values are cast to long (nearest-rank on integers — no interpolation,
+    so the picked value is bit-exact cross-engine); NULL values are
+    excluded, mirroring SQL percentile semantics.
+    """
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        vc.cast("long").alias("val"),
+        _hval(F.col(key_col).cast("string")).alias("h"),
+    ).filter(F.col("val").isNotNull())
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.array_sort(F.collect_list("val")).alias("vs"),
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("h", "val"))), 1, k
+        ).alias("hs"),
+    )
+    sample_sorted = F.array_sort(F.transform(F.col("hs"), lambda x: x["val"]))
+    exact_cols = [
+        F.element_at(F.col("vs"), _qrank(num, den, F.col("n_rows"))).alias(
+            f"{name}_exact"
+        )
+        for name, num, den in qs
+    ]
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_rows",
+        *exact_cols,
+        *_q_est_cols(sample_sorted, qs),
+    )
+
+
+def quantile_partials(
+    df: DataFrame, group_col: str, value_col, key_col: str, k: int = QS_K
+) -> DataFrame:
+    """Per-partition bottom-k row sample: for each group, the k (hash,
+    value) pairs with the smallest row-key hashes seen in that partition,
+    via a bounded max-heap — a pure map stage whose state is at most k
+    pairs per (partition, group). Duplicate rows (same key hash) are kept
+    as distinct sample slots, matching the row_number semantics of the
+    twin. The union of per-partition bottom-k's contains the global
+    bottom-k, which is what makes the merged sample — and therefore the
+    estimate — identical to :func:`quantile_sketch`'s."""
+    import heapq
+
+    import pandas as pd
+
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        vc.cast("long").alias("val"),
+        _hval(F.col(key_col).cast("string")).alias("h"),
+    ).filter(F.col("val").isNotNull())
+    grp_type = base.schema["grp"].dataType.simpleString()
+
+    def summarize(batches):
+        kept: dict = {}  # grp -> max-heap of negated (h, val) tuples
+        for pdf in batches:
+            for g, v, h in zip(
+                pdf["grp"].values, pdf["val"].values, pdf["h"].values
+            ):
+                heap = kept.get(g)
+                if heap is None:
+                    heap = kept[g] = []
+                item = (-int(h), -int(v))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heappushpop(heap, item)
+        yield pd.DataFrame(
+            {
+                "grp": [g for g, heap in kept.items() for _ in heap],
+                "h": [-nh for _, heap in kept.items() for nh, _ in heap],
+                "val": [-nv for _, heap in kept.items() for _, nv in heap],
+            }
+        )
+
+    return base.mapInPandas(summarize, f"grp {grp_type}, h long, val long")
+
+
+def quantile_sketch_merged(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    key_col: str,
+    k: int = QS_K,
+    qs=QS_QUANTILES,
+) -> DataFrame:
+    """Scale-shaped quantile estimate WITHOUT the exact twin: bounded
+    per-partition bottom-k partials (:func:`quantile_partials`) merged by
+    one groupBy that keeps the k hash-smallest of the union. The exchange
+    carries at most k rows per (map partition, group) regardless of input
+    size, and the merged sample is exactly the twin's sample, so the
+    ``*_est`` columns are bit-identical to :func:`quantile_sketch`'s
+    (parity-gated in tests and by the ``quantile_merge`` contract key)."""
+    merged = (
+        quantile_partials(df, group_col, value_col, key_col, k)
+        .groupBy("grp")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("h", "val"))), 1, k
+            ).alias("hs")
+        )
+    )
+    sample_sorted = F.array_sort(F.transform(F.col("hs"), lambda x: x["val"]))
+    return merged.select(
+        F.col("grp").alias(group_col), *_q_est_cols(sample_sorted, qs)
+    )
+
+
+def quantile_sketch_sql(
+    rel: str, group_col: str, k: int = QS_K, qs=QS_QUANTILES
+) -> str:
+    """DuckDB twin of :func:`quantile_sketch`; ``rel`` must yield columns
+    ``grp``, ``val`` (integral), and ``key`` (string row key)."""
+    exact = ", ".join(
+        f"vs[{_qrank_sql(num, den, 'n_rows')}] AS {name}_exact"
+        for name, num, den in qs
+    )
+    est = ", ".join(
+        f"ss[{_qrank_sql(num, den, 'len(ss)')}] AS {name}_est"
+        for name, num, den in qs
+    )
+    return f"""WITH _qs_b AS (
+          SELECT grp, CAST(val AS BIGINT) AS val,
+                 {_hval_sql('key')} AS h
+          FROM ({rel}) WHERE val IS NOT NULL
+        ),
+        _qs_a AS (
+          SELECT grp, count(*) AS n_rows,
+                 list(val ORDER BY val) AS vs,
+                 list_sort(list(val ORDER BY h, val)[1:{k}]) AS ss
+          FROM _qs_b GROUP BY grp
+        )
+        SELECT grp AS {group_col}, CAST(n_rows AS BIGINT) AS n_rows, {exact}, {est}
+        FROM _qs_a"""
+
+
 HH_SUPPORT = 0.02  # default support threshold s: report tokens with freq >= s*N
+
+
+def mg_update(counts: dict, tokens, k: int) -> None:
+    """One Misra-Gries step per token, in place: increment a tracked
+    counter, admit while below capacity ``k``, else decrement-all and
+    drop zeros. Shared by the batch candidate pass and the streaming
+    form (``streaming/stateful.heavy_hitters_stream``) so the summary
+    semantics — and therefore the superset guarantee — are defined
+    exactly once."""
+    for t in tokens:
+        if t in counts:
+            counts[t] += 1
+        elif len(counts) < k:
+            counts[t] = 1
+        else:
+            dead = []
+            for key in counts:
+                counts[key] -= 1
+                if counts[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counts[key]
+
+
+def hh_recount(
+    docs: DataFrame,
+    cands: DataFrame,
+    text_col: str = "text",
+    support: float = HH_SUPPORT,
+) -> DataFrame:
+    """Exact recount pass shared by :func:`heavy_hitters` and the
+    streaming parity key: broadcast the (deduplicated) candidate tokens,
+    hash-join them against the exploded token stream map-side, and keep
+    tokens with count >= support * N. Exact and partitioning-invariant
+    provided ``cands`` is a superset of the true heavy hitters."""
+    cands = cands.dropDuplicates(["token"])
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(_hh_token_re_lit()), 0
+            )
+        ).alias("token")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    counted = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(support) * F.col("n_total"))
+        .select("token", "cnt", "n_total")
+    )
+
+
+def _hh_token_re_lit() -> str:
+    from entity_extractor_spark.functions.text import TOKEN_RE
+
+    return TOKEN_RE
 
 
 def heavy_hitters(
@@ -236,43 +487,11 @@ def heavy_hitters(
             for text in pdf[text_col]:
                 if text is None:
                     continue
-                for t in tok_re.findall(text.lower()):
-                    if t in counts:
-                        counts[t] += 1
-                    elif len(counts) < k:
-                        counts[t] = 1
-                    else:
-                        # decrement-all step; drop zeros
-                        dead = []
-                        for key in counts:
-                            counts[key] -= 1
-                            if counts[key] == 0:
-                                dead.append(key)
-                        for key in dead:
-                            del counts[key]
+                mg_update(counts, tok_re.findall(text.lower()), k)
         yield pd.DataFrame({"token": list(counts.keys())})
 
-    cands = (
-        docs.select(text_col)
-        .mapInPandas(_mg_partition, "token string")
-        .dropDuplicates(["token"])
-    )
-    toks = docs.select(
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-        ).alias("token")
-    )
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
-    counted = (
-        toks.join(F.broadcast(cands), "token")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return (
-        counted.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.lit(support) * F.col("n_total"))
-        .select("token", "cnt", "n_total")
-    )
+    cands = docs.select(text_col).mapInPandas(_mg_partition, "token string")
+    return hh_recount(docs, cands, text_col, support)
 
 
 def heavy_hitters_sql(rel: str = "documents", support: float = HH_SUPPORT) -> str:

@@ -38,6 +38,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -161,6 +162,111 @@ def sessionize_stream(
         _session_fn(gap_seconds),
         outputStructType=SESSION_OUTPUT,
         stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+HH_STREAM_OUTPUT = StructType([StructField("token", StringType())])
+# per-shard Misra-Gries summary: parallel (token, counter) arrays,
+# bounded at k entries by construction
+HH_STREAM_STATE = StructType(
+    [
+        StructField("tokens", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def _hh_fn(k: int, text_col: str):
+    import re as _re
+
+    from entity_extractor_spark.functions.text import TOKEN_RE
+    from entity_extractor_spark.operators.sketches import mg_update
+
+    # re.ASCII for the same reason as the batch pass (sketches.py):
+    # the exact recount explodes tokens with Java \w (ASCII), so the
+    # streaming summary must track the same token units
+    tok_re = _re.compile(TOKEN_RE, _re.ASCII)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed our marker: the drain is (as far as this
+            # shard knows) over — emit the surviving summary tokens and
+            # clear state. If more data DOES arrive later, a fresh
+            # summary starts; the union of per-epoch summaries is still
+            # a candidate superset (see heavy_hitters_stream docstring).
+            tokens: list = []
+            if state.exists:
+                tokens = list(state.get[0])
+                state.remove()
+            if tokens:
+                yield pd.DataFrame({"token": pd.Series(tokens, dtype="object")})
+            return
+        counts: dict = {}
+        if state.exists:
+            toks, cnts = state.get
+            counts = {t: int(c) for t, c in zip(toks, cnts)}
+        for pdf in pdfs:
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                mg_update(counts, tok_re.findall(text.lower()), k)
+        if counts:
+            state.update((list(counts.keys()), [int(v) for v in counts.values()]))
+            # fire as soon as the watermark moves past "now": under
+            # AvailableNow the post-drain no-data micro-batch advances
+            # the watermark to max(ts) and flushes every summary
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+        elif state.exists:
+            state.remove()
+
+    return fn
+
+
+def heavy_hitters_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    support: float = 0.02,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    ts: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming Misra-Gries candidate pass — the incremental form of
+    the batch ``operators/sketches.heavy_hitters`` pass 1: each shard
+    (content-hash of the doc id, so assignment is deterministic and
+    engine-independent) carries a bounded MG summary of capacity
+    k = ceil(1/support) across micro-batches in
+    ``applyInPandasWithState`` state, and emits its surviving tokens
+    once the event-time watermark passes the shard's last update (under
+    ``Trigger.AvailableNow``, the post-drain no-data micro-batch).
+
+    State is O(shards * k) tokens TOTAL regardless of stream length —
+    the whole point of MG — and the emission is a candidate SUPERSET of
+    the true heavy hitters even if a mid-stream timeout splits a shard's
+    summary into epochs: an MG run over n_i tokens misses only tokens
+    with count <= n_i/(k+1), so summing over (shard, epoch) runs bounds
+    the total missed count by N/(k+1) < support*N. Feeding the emitted
+    candidates to ``operators/sketches.hh_recount`` therefore yields the
+    EXACT heavy-hitter set — which is what the ``hh_stream_parity``
+    contract key verifies against the batch oracle."""
+    import math
+
+    from entity_extractor_spark.functions.hashing import token_hash
+
+    k = math.ceil(1.0 / support)
+    ev = docs.withWatermark(ts, watermark).select(
+        F.pmod(token_hash(F.col(id_col).cast("string")), F.lit(shards)).alias("shard"),
+        F.col(text_col).alias("text"),
+        F.col(ts),
+    )
+    return ev.groupBy("shard").applyInPandasWithState(
+        _hh_fn(k, "text"),
+        outputStructType=HH_STREAM_OUTPUT,
+        stateStructType=HH_STREAM_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -347,6 +347,115 @@ def test_sq8_topk_agrees_with_exact_on_separated_vectors(spark):
     assert got[0]["score_q"] > got[1]["score_q"]
 
 
+# --------------------------------------------------------------------------- quantile sketch
+
+
+def test_quantile_sketch_lossless_below_k(spark):
+    """Group smaller than k: the bottom-k sample IS the group, so the
+    estimates must equal the exact quantiles."""
+    from entity_extractor_spark.operators.sketches import quantile_sketch
+
+    df = spark.createDataFrame(
+        [("a", i, i * 10) for i in range(1, 21)], "grp string, id long, v long"
+    )
+    row = quantile_sketch(df, "grp", "v", "id", k=64).collect()[0]
+    assert row["n_rows"] == 20
+    assert row["q50_exact"] == 100 and row["q90_exact"] == 180  # ceil(.5*20)=10, ceil(.9*20)=18
+    assert row["q50_est"] == row["q50_exact"]
+    assert row["q90_est"] == row["q90_exact"]
+
+
+def test_quantile_sketch_merged_parity_any_partitioning(spark):
+    """Above k the sample is proper; the bounded merge form must
+    reproduce the twin's estimates bit-exactly at any partitioning."""
+    from entity_extractor_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_merged,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 2}", i, (i * 37) % 500) for i in range(400)],
+        "grp string, id long, v long",
+    )
+    twin = {
+        r["grp"]: (r["q50_est"], r["q90_est"])
+        for r in quantile_sketch(df, "grp", "v", "id", k=16).collect()
+    }
+    for parts in (1, 3, 11):
+        got = {
+            r["grp"]: (r["q50_est"], r["q90_est"])
+            for r in quantile_sketch_merged(
+                df.repartition(parts), "grp", "v", "id", k=16
+            ).collect()
+        }
+        assert got == twin
+
+
+def test_quantile_partials_state_is_bounded(spark):
+    """The partial stage must emit <= k rows per (partition, group) —
+    the bounded-exchange property the 100 TB claim rests on."""
+    from entity_extractor_spark.operators.sketches import quantile_partials
+
+    k = 8
+    df = spark.createDataFrame(
+        [("a", i, i) for i in range(500)], "grp string, id long, v long"
+    ).repartition(4)
+    out = quantile_partials(df, "grp", "v", "id", k=k).groupBy("grp").count().collect()
+    assert out[0]["count"] <= k * 4
+
+
+# --------------------------------------------------------------------------- weighted reservoir
+
+
+def test_weighted_sample_naive_parity_and_partitioning(spark):
+    """The bounded partial+merge top-k must equal the naive full window
+    rank over the same A-Res priority, at any partitioning."""
+    from pyspark.sql import Window
+
+    from entity_extractor_spark.operators.sampling import (
+        _wrs_base,
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i, 1 + (i * 13) % 40) for i in range(300)],
+        "grp string, id long, w long",
+    )
+    base = _wrs_base(df, "grp", "id", "w")
+    win = Window.partitionBy("grp").orderBy(F.desc("akey"), "id")
+    naive = {
+        (r["grp"], r["id"], r["w"])
+        for r in base.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 16)
+        .collect()
+    }
+    for parts in (1, 7):
+        got = {
+            tuple(r)
+            for r in weighted_sample(
+                df.repartition(parts), "grp", "id", "w", k=16
+            ).collect()
+        }
+        assert got == naive
+        assert len(got) == 3 * 16
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A row carrying ~all the group's weight must be sampled; zero/neg
+    weights are excluded entirely."""
+    from entity_extractor_spark.operators.sampling import weighted_sample
+
+    rows = [("a", i, 1) for i in range(200)] + [
+        ("a", 999, 10_000_000),
+        ("a", 998, 0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+    got = {r["id"] for r in weighted_sample(df, "grp", "id", "w", k=8).collect()}
+    assert "999" in got
+    assert "998" not in got
+    assert len(got) == 8
+
+
 # --------------------------------------------------------------------------- decontamination
 
 
@@ -367,6 +476,39 @@ def test_contamination_planted_overlap(spark):
     assert rows[1]["contaminated"] and rows[1]["n_shared_shingles"] == 2
     assert not rows[2]["contaminated"] and rows[2]["n_shared_shingles"] == 0
     assert rows[3]["contaminated"] and rows[3]["n_shared_shingles"] >= 5
+
+
+def test_contamination_bloom_matches_exact(spark):
+    """The Bloom-pruned report must be row-identical to the exact one —
+    false positives die in the verify join, true positives can't be
+    dropped (the probe sets every bit the build sets). Run it also with
+    a pathologically small bitmap (64 bits — near-every-probe-positive)
+    to prove saturation degrades only the prune, never the answer."""
+    from entity_extractor_spark.operators.decontam import contamination_report_bloom
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox jumps away"),
+            (2, "completely unrelated sentence about spark joins"),
+            (3, "the quick brown fox jumps over the lazy dog indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        tuple(r) for r in contamination_report(train, bench, n=4).collect()
+    }
+    for m_bits in (1 << 17, 64):
+        got = {
+            tuple(r)
+            for r in contamination_report_bloom(
+                train, bench, n=4, m_bits=m_bits
+            ).collect()
+        }
+        assert got == exact
 
 
 # --------------------------------------------------------------------------- heavy hitters

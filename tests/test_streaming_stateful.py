@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from entity_extractor_spark.streaming.incremental import TRANSCRIPT_SCHEMA  # noqa: F401
 from entity_extractor_spark.streaming.stateful import (
     dedup_stream,
+    heavy_hitters_stream,
     sessionize_stream,
     windowed_event_counts,
 )
@@ -246,7 +247,12 @@ def test_parity_keys_match_oracle_under_non_utc_timezone(spark):
     old = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")  # +05:30
     try:
-        for key in ("dedup_stream_parity", "windowed_counts_parity", "sessionize_parity"):
+        for key in (
+            "dedup_stream_parity",
+            "windowed_counts_parity",
+            "sessionize_parity",
+            "hh_stream_parity",  # epoch-ms arithmetic only — TZ-free by construction
+        ):
             got = qs[key](spark, sf).toPandas()
             exp = con.execute(oracles[key]).df()
             err = compare_frames(got, exp, key)
@@ -255,3 +261,64 @@ def test_parity_keys_match_oracle_under_non_utc_timezone(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
         con.close()
+
+
+DOC_SCHEMA = "doc_id long, text string, ts timestamp"
+
+
+def _write_doc_wave(spark, path, rows, ts):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["ts"] = pd.to_datetime(ts, unit="s")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_heavy_hitters_stream_candidates_across_drains(spark, tmp_path):
+    """Streaming MG summaries carried across two separate AvailableNow
+    drains (state lives in the checkpoint) must still yield an exact
+    heavy-hitter set after the shared recount: summaries flushed per
+    (shard, epoch) stay a candidate superset even though the first
+    drain's flush resets the state mid-corpus."""
+    from entity_extractor_spark.operators.sketches import heavy_hitters, hh_recount
+
+    inp, ckpt, outp = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
+    wave1 = [(i, "alpha common " + " ".join(f"w1u{i}x{j}" for j in range(5))) for i in range(20)]
+    # wave 2 must carry LATER event time: the flush timeout is set at
+    # watermark+1, so each drain's final no-data batch only fires it if
+    # the wave advanced the watermark
+    wave2 = [(100 + i, "beta common " + " ".join(f"w2u{i}x{j}" for j in range(5))) for i in range(20)]
+
+    def build(path):
+        stream = spark.readStream.schema(DOC_SCHEMA).parquet(path)
+        return heavy_hitters_stream(stream, support=0.05, shards=4)
+
+    _write_doc_wave(spark, inp, wave1, ts=1000)
+    _drain(build, inp, ckpt, outp)
+    _write_doc_wave(spark, inp, wave2, ts=2000)
+    _drain(build, inp, ckpt, outp)
+
+    docs = spark.createDataFrame(wave1 + wave2, "doc_id long, text string")
+    cands = spark.read.parquet(outp)
+    got = {tuple(r) for r in hh_recount(docs, cands, support=0.05).collect()}
+    exp = {tuple(r) for r in heavy_hitters(docs, support=0.05).collect()}
+    assert got == exp
+    assert {t for t, _, _ in got} >= {"alpha", "beta", "common"}
+
+
+def test_heavy_hitters_stream_state_is_bounded(spark, tmp_path):
+    """The flushed candidate emission is <= shards * k tokens — the
+    bounded-state property (MG capacity k per shard) observed from the
+    outside."""
+    import math
+
+    inp, ckpt, outp = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
+    support, shards = 0.1, 2
+    rows = [(i, " ".join(f"v{i}w{j}" for j in range(20))) for i in range(50)]
+
+    def build(path):
+        stream = spark.readStream.schema(DOC_SCHEMA).parquet(path)
+        return heavy_hitters_stream(stream, support=support, shards=shards)
+
+    _write_doc_wave(spark, inp, rows, ts=1000)
+    _drain(build, inp, ckpt, outp)
+    n_cands = spark.read.parquet(outp).count()
+    assert n_cands <= shards * math.ceil(1.0 / support)
