@@ -426,6 +426,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # Rotating out, each green in BOTH r02 and r03 (and r01):
 # scored_candidates, sequence_packing, multimodal_report,
 # minhash_lsh_pairs, simhash_fingerprint.
+# THIRD LATE-ROUND-4 ROTATION (wave 3, same discipline): bm25_topk
+# (BM25 ranked retrieval, fixed-point int64 scores, shared expression
+# text both engines), grouped_heavy_hitters (per-group Misra-Gries +
+# broadcast recount), unigram_logprob (per-doc add-one unigram LM
+# fluency score, fixed-point integer sums) — each verified green via
+# tools/check_contract.py at sf0.001 AND sf0.01. Rotating out, each
+# green in r02 AND r03: ann_lsh_topk, ann_ivf_topk, embedding_dups_lsh.
 PRIORITY_KEYS = [
     # core SURVEY §2 set (round-1 gap: no driver row); value_counts /
     # bool_sum / union_distinct went green in r02 and rotate out for the
@@ -447,8 +454,6 @@ PRIORITY_KEYS = [
     # ann_brute_topk, exact_mode_scan, tfidf_topk, lang_id_counts;
     # quality_scores (green in r01 AND r02) rotates out for khop_neighbors
     # (round-3 addition, no driver history)
-    "embedding_dups_lsh",
-    "ann_lsh_topk", "ann_ivf_topk",
     "multimodal_meta",
     # round-3 rotation: first-ever driver rows for the three round-2 additions
     # plus the two retrieval-quality metrics
@@ -477,6 +482,9 @@ PRIORITY_KEYS = [
     # Misra-Gries batch parity — first driver rows
     "quantile_sketch", "quantile_merge", "weighted_sample",
     "contamination_bloom", "hh_stream_parity",
+    # third late-round-4 rotation (wave 3): ranked retrieval, grouped
+    # frequency sketch, unigram-LM quality scoring — first driver rows
+    "bm25_topk", "grouped_heavy_hitters", "unigram_logprob",
 ]
 
 

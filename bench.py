@@ -86,6 +86,18 @@ HEADLINE = [
     "kmv_sketch",
     "avi_decode",
     "avi_frames",
+    # round-4 wave 2: quantile sketch (twin + bounded merge form),
+    # A-Res weighted reservoir, Bloom-pruned decontamination
+    # (hh_stream_parity is excluded like the other streaming parity
+    # keys — a checkpointed drain measures the sink, not the plan)
+    "quantile_sketch",
+    "quantile_merge",
+    "weighted_sample",
+    "contamination_bloom",
+    # round-4 wave 3: ranked retrieval, grouped frequency, unigram LM
+    "bm25_topk",
+    "grouped_heavy_hitters",
+    "unigram_logprob",
 ]
 
 

@@ -27,11 +27,14 @@ from entity_extractor_spark.operators.sampling import (
     weighted_sample,
     weighted_sample_sql,
 )
+from entity_extractor_spark.operators.search import bm25_topk_sql
+from entity_extractor_spark.operators.textstats import unigram_logprob_sql
 from entity_extractor_spark.operators.sketches import (
     heavy_hitters,
     heavy_hitters_sql,
     kmv_distinct,
     kmv_distinct_sql,
+    grouped_heavy_hitters_sql,
     kmv_sketch_only,
     quantile_sketch,
     quantile_sketch_merged,
@@ -237,6 +240,41 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "id")
 
 
+BM25_QUERIES = [
+    ("q1", "spark stream processing"),
+    ("q2", "hash join query"),
+    ("q3", "merge batch window"),
+]
+BM25_K = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/search.bm25_topk): top-10 docs
+    per literal query, fixed-point int64 scores — deterministic ranking,
+    hash-verified against the naive SQL mirror."""
+    from entity_extractor_spark.operators.search import bm25_topk
+
+    d = _load(spark, sf_dir, "documents")
+    return bm25_topk(d, BM25_QUERIES, k=BM25_K).orderBy("query_id", "rank")
+
+
+def q_grouped_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact heavy hitters via per-(partition, group)
+    Misra-Gries summaries + broadcast recount."""
+    from entity_extractor_spark.operators.sketches import grouped_heavy_hitters
+
+    d = _load(spark, sf_dir, "documents")
+    return grouped_heavy_hitters(d, "lang").orderBy("lang", "token")
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average unigram log-probability under the corpus's own
+    add-one-smoothed model (fixed-point exact integer sums)."""
+    from entity_extractor_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned decontamination: same train/bench split — and the
     SAME oracle SQL — as `contamination`; the Bloom bitmap + exact
@@ -270,6 +308,9 @@ QUERIES = {
     "quantile_merge": q_quantile_merge,
     "weighted_sample": q_weighted_sample,
     "contamination_bloom": q_contamination_bloom,
+    "bm25_topk": q_bm25_topk,
+    "grouped_heavy_hitters": q_grouped_heavy_hitters,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 
@@ -364,6 +405,13 @@ def _oracles() -> dict[str, str]:
             n=DECONTAM_N,
         )
         + "\nORDER BY doc_id",
+        "bm25_topk": bm25_topk_sql(BM25_QUERIES, k=BM25_K)
+        + "\nORDER BY query_id, rank",
+        "grouped_heavy_hitters": grouped_heavy_hitters_sql(
+            "SELECT lang AS grp, text FROM documents", "lang"
+        )
+        + "\nORDER BY lang, token",
+        "unigram_logprob": unigram_logprob_sql("documents") + "\nORDER BY doc_id",
         "ann_sq8_topk": sq8_cte,
         "contamination": contamination_report_sql(
             f"SELECT doc_id, text FROM documents WHERE doc_id >= {BENCH_DOC_MAX_ID}",

@@ -494,6 +494,99 @@ def heavy_hitters(
     return hh_recount(docs, cands, text_col, support)
 
 
+def grouped_heavy_hitters(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    support: float = HH_SUPPORT,
+) -> DataFrame:
+    """Per-GROUP exact heavy hitters: tokens with count >= support *
+    N_group within each group — :func:`heavy_hitters` generalized to the
+    grouped form (per-language / per-source vocabulary analysis, the
+    data-mixing diagnostic of an LLM pipeline).
+
+    Same two-pass shape, with the MG superset guarantee applied PER
+    (partition, group): pass 1 keeps an independent Misra-Gries summary
+    of capacity k = ceil(1/support) for each group seen in the partition
+    (state <= k tokens per (partition, group) — bounded, pure map
+    stage); a token absent from every partition's summary for group g
+    has total in-group count <= N_g/(k+1) < support*N_g, so the union is
+    a per-group candidate superset. Pass 2 recounts candidates exactly
+    via a broadcast join on (group, token) and filters against the exact
+    per-group totals — exact and partitioning-invariant."""
+    import math
+    import re as _re
+
+    import pandas as pd
+
+    from entity_extractor_spark.functions.text import TOKEN_RE
+
+    k = math.ceil(1.0 / support)
+    # re.ASCII: match the Java-regex token units of the recount/oracle
+    # (see heavy_hitters)
+    tok_re = _re.compile(TOKEN_RE, _re.ASCII)
+    base = docs.select(F.col(group_col).alias("grp"), F.col(text_col).alias("text"))
+    grp_type = base.schema["grp"].dataType.simpleString()
+
+    def _mg_partition(batches):
+        summaries: dict = {}  # grp -> MG counter dict
+        for pdf in batches:
+            for g, text in zip(pdf["grp"].values, pdf["text"]):
+                if text is None:
+                    continue
+                counts = summaries.get(g)
+                if counts is None:
+                    counts = summaries[g] = {}
+                mg_update(counts, tok_re.findall(text.lower()), k)
+        yield pd.DataFrame(
+            {
+                "grp": [g for g, c in summaries.items() for _ in c],
+                "token": [t for _, c in summaries.items() for t in c],
+            }
+        )
+
+    cands = (
+        base.mapInPandas(_mg_partition, f"grp {grp_type}, token string")
+        .dropDuplicates(["grp", "token"])
+    )
+    toks = base.select(
+        "grp",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("token"),
+    )
+    totals = toks.groupBy("grp").agg(F.count(F.lit(1)).alias("n_total"))
+    counted = (
+        toks.join(F.broadcast(cands), ["grp", "token"])
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        counted.join(F.broadcast(totals), "grp")
+        .filter(F.col("cnt") >= F.lit(support) * F.col("n_total"))
+        .select(F.col("grp").alias(group_col), "token", "cnt", "n_total")
+    )
+
+
+def grouped_heavy_hitters_sql(
+    rel: str, group_col: str, support: float = HH_SUPPORT
+) -> str:
+    """DuckDB twin of :func:`grouped_heavy_hitters`; ``rel`` must yield
+    columns ``grp`` and ``text``."""
+    from entity_extractor_spark.functions.text import tokenize_sql
+
+    return f"""
+        WITH _gh_tok AS (
+          SELECT grp, unnest({tokenize_sql('text')}) AS token FROM ({rel})
+        ),
+        _gh_tot AS (SELECT grp, count(*) AS n_total FROM _gh_tok GROUP BY grp),
+        _gh_c AS (SELECT grp, token, count(*) AS cnt FROM _gh_tok GROUP BY grp, token)
+        SELECT c.grp AS {group_col}, c.token, CAST(c.cnt AS BIGINT) AS cnt,
+               CAST(t.n_total AS BIGINT) AS n_total
+        FROM _gh_c c JOIN _gh_tot t USING (grp)
+        WHERE c.cnt >= {support} * t.n_total"""
+
+
 def heavy_hitters_sql(rel: str = "documents", support: float = HH_SUPPORT) -> str:
     """Exact DuckDB twin of :func:`heavy_hitters` — the sketch pass has
     no oracle (it is only a candidate generator); the exact semantics

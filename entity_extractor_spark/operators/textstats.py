@@ -289,3 +289,91 @@ def corpus_quality_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("pred_lang")
     )
+
+
+ULM_FP = 1_000_000  # fixed-point scale for per-token log-probability
+
+# add-one-smoothed unigram log-probability of one token, fixed-point
+# rounded to int64. The expression TEXT is shared verbatim between the
+# Spark plan (F.expr) and the DuckDB oracle so both engines build the
+# same double tree from the same integer inputs; round() is
+# away-from-zero on both engines, so negative values agree too.
+_ULM_LP = (
+    f"CAST(round({ULM_FP} * ln((cnt + 1.0) / (n_tokens_corpus + n_vocab))) AS BIGINT)"
+)
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's
+    own add-one-smoothed unigram model — the perplexity-style fluency
+    signal of an LLM data pipeline (a doc of corpus-typical words scores
+    high; rare-token noise scores low), computed exactly in two passes
+    with no Python.
+
+    Pass 1 builds the unigram table (token -> count) plus the corpus
+    totals (token count N, vocabulary size V) as a broadcast one-row
+    aggregate; pass 2 joins each document's tokens against the unigram
+    table and averages ln((cnt+1)/(N+V)) per document. Per-token
+    log-probs are fixed-point int64 (:data:`_ULM_LP`), so the per-doc
+    SUM is integer — partition-order independent — and only the final
+    single division produces the reported double, rounded on both
+    engines.
+
+    Scale shape: both joins are keyed on ``token`` — at corpus scale the
+    exploded token stream and the unigram table come out of the SAME
+    shuffle (co-partitioned), and the per-doc aggregation is keyed by
+    the doc id the corpus is bucketed by. Docs with zero tokens have no
+    probability under the model and are omitted (mirrored by the
+    oracle's inner join).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(T.tokenize(F.col(text_col))).alias("token")
+    )
+    unigrams = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = unigrams.agg(
+        F.sum("cnt").alias("n_tokens_corpus"),
+        F.count(F.lit(1)).alias("n_vocab"),
+    )
+    return (
+        toks.join(unigrams, "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("lp_fp", F.expr(_ULM_LP))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_fp").alias("sum_lp_fp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_lp_fp",
+            F.round(
+                F.col("sum_lp_fp").cast("double") / F.col("n_tokens") / F.lit(ULM_FP), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def unigram_logprob_sql(rel: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`unigram_logprob` (same fixed-point
+    expression text, same inner-join omission of token-less docs)."""
+    toks = T.tokenize_sql("text")
+    return f"""WITH _ul_t AS (
+          SELECT {id_col}, unnest({toks}) AS token FROM {rel}
+        ),
+        _ul_u AS (SELECT token, count(*) AS cnt FROM _ul_t GROUP BY token),
+        _ul_s AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens_corpus,
+                 count(*) AS n_vocab
+          FROM _ul_u
+        ),
+        _ul_lp AS (
+          SELECT t.{id_col}, {_ULM_LP} AS lp_fp
+          FROM _ul_t t JOIN _ul_u USING (token), _ul_s
+        )
+        SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(lp_fp) AS BIGINT) AS sum_lp_fp,
+               round(CAST(sum(lp_fp) AS DOUBLE) / count(*) / {ULM_FP}, 6) AS avg_logprob
+        FROM _ul_lp GROUP BY {id_col}"""

@@ -568,3 +568,100 @@ def test_heavy_hitters_partitioning_invariant(spark):
     r7 = {tuple(r) for r in heavy_hitters(docs.repartition(7), support=0.1).collect()}
     assert r1 == r7
     assert {t for t, _, _ in r1} == {"alpha", "beta"}
+
+
+# --------------------------------------------------------------------------- BM25 retrieval
+
+
+def test_bm25_planted_relevance_and_partitioning(spark):
+    """A doc saturated with the query terms must outrank docs with one
+    hit; the fixed-point ranking is identical at any partitioning."""
+    from entity_extractor_spark.operators.search import bm25_topk
+
+    rows = [
+        (1, "spark stream spark stream spark"),      # both terms, high tf
+        (2, "spark appears once amid filler words here"),
+        (3, "stream appears once amid filler words here"),
+        (4, "completely unrelated text about databases"),
+    ] + [(10 + i, f"filler doc u{i} v{i} w{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = bm25_topk(docs, [("q", "spark stream")], k=3)
+    ranked = [r["doc_id"] for r in res.orderBy("rank").collect()]
+    assert ranked[0] == 1
+    assert set(ranked) == {1, 2, 3}  # doc 4 and fillers have no query term
+    r7 = [
+        r["doc_id"]
+        for r in bm25_topk(docs.repartition(7), [("q", "spark stream")], k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert r7 == ranked
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    """A term present in every doc contributes ~nothing: a doc matching
+    only the rare term must outrank a doc matching only the ubiquitous
+    term."""
+    from entity_extractor_spark.operators.search import bm25_topk
+
+    rows = [(i, "common filler base words") for i in range(20)]
+    rows += [(100, "common rare")] 
+    rows += [(101, "rare only doc")]
+    rows += [(102, "common only doc")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {
+        r["doc_id"]: r["rank"]
+        for r in bm25_topk(docs, [("q", "common rare")], k=30).collect()
+    }
+    assert res[101] < res[102]  # rare-term match beats common-term match
+
+
+# --------------------------------------------------------------------------- grouped heavy hitters
+
+
+def test_grouped_heavy_hitters_exact_vs_naive(spark):
+    from entity_extractor_spark.functions import text as T
+    from entity_extractor_spark.operators.sketches import grouped_heavy_hitters
+
+    rows = []
+    for i in range(30):
+        rows.append(("en", i, "alpha " + " ".join(f"e{i}x{j}" for j in range(8))))
+        rows.append(("de", 100 + i, "beta " + " ".join(f"d{i}x{j}" for j in range(8))))
+    docs = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+    toks = docs.select("lang", F.explode(T.tokenize(F.col("text"))).alias("token"))
+    tot = {r["lang"]: r["n"] for r in toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    naive = {
+        (r["lang"], r["token"], r["cnt"])
+        for r in toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if r["cnt"] >= 0.1 * tot[r["lang"]]
+    }
+    for parts in (1, 7):
+        got = {
+            (r["lang"], r["token"], r["cnt"])
+            for r in grouped_heavy_hitters(
+                docs.repartition(parts), "lang", support=0.1
+            ).collect()
+        }
+        assert got == naive
+    assert ("en", "alpha", 30) in naive and ("de", "beta", 30) in naive
+
+
+# --------------------------------------------------------------------------- unigram LM
+
+
+def test_unigram_logprob_known_answer(spark):
+    """Hand-computed add-one model: docs ['a a', 'a b'] -> unigrams
+    a:3, b:1, N=4, V=2; lp(a)=ln(4/6), lp(b)=ln(2/6)."""
+    import math
+
+    from entity_extractor_spark.operators.textstats import ULM_FP, unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    lp_a = round(ULM_FP * math.log(4 / 6))
+    lp_b = round(ULM_FP * math.log(2 / 6))
+    assert rows[1]["n_tokens"] == 2 and rows[1]["sum_lp_fp"] == 2 * lp_a
+    assert rows[2]["sum_lp_fp"] == lp_a + lp_b
+    assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]  # typical > rare

@@ -372,3 +372,59 @@ def test_repetition_signals_gram_aggs_are_partial(spark):
     plan = P.formatted_plan(repetition_signals(d))
     assert "HashAggregate" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_quantile_merge_single_bounded_exchange(spark):
+    """The scale-shaped quantile plan mirrors kmv_sketch_only: a
+    MapInPandas partial stage (<= k rows per partition-group) followed by
+    exactly ONE exchange for the merge groupBy — no window rank and no
+    full per-group value sort (those live only in the verification
+    twin)."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_spark.operators.sketches import quantile_sketch_merged
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = quantile_sketch_merged(d, "lang", F.length(F.col("text")), "doc_id")
+    plan = P.formatted_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert P.count_exchanges(plan) == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_weighted_sample_single_bounded_exchange(spark):
+    """The A-Res reservoir is the same bounded two-phase shape: priority
+    computed JVM-side feeding a MapInPandas partial reservoir (<= k rows
+    per partition-group), ONE merge exchange, no window rank (the naive
+    window form exists only as the oracle SQL)."""
+    from pyspark.sql import functions as F
+
+    from entity_extractor_spark.operators.sampling import weighted_sample
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = weighted_sample(d, "lang", "doc_id", F.length(F.col("text")))
+    plan = P.formatted_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert P.count_exchanges(plan) == 1, plan
+    assert "Window" not in plan, plan
+    # the md5-derived priority is computed before the kernel inside
+    # codegen (the _wrs_base select precedes mapInPandas); no
+    # row-at-a-time Python evaluation anywhere in the plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_contamination_bloom_probe_is_vectorized_prefilter(spark):
+    """The Bloom probe must run as an Arrow-vectorized filter on the
+    train side (no per-row Python UDF, no cartesian), and the train scan
+    must read only (doc_id, text)."""
+    from entity_extractor_spark.operators.decontam import contamination_report_bloom
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = d.filter(F.col("doc_id") < 5)
+    train = d.filter(F.col("doc_id") >= 5)
+    plan = P.formatted_plan(contamination_report_bloom(train, bench, n=4))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # row-at-a-time Python path
+    assert "CartesianProduct" not in plan, plan
+    for cols in P.read_schemas(plan):
+        assert set(cols) <= {"doc_id", "text"}, plan
