@@ -107,6 +107,42 @@ MapInPandas stages over the pruned scan, ZERO exchanges; the multi-frame
 video payload never transits a shuffle, and the per-frame sampling fan-out
 (one row per sampled frame) happens INSIDE the map stage so only derived
 integer stats flow on. Enforced by test_plans.py.""",
+    "quantile_merge": """Bounded-state quantile sketch, merge form (round-4
+wave 2). Wanted shape: same as kmv_sketch — MapInPandas (per-partition
+bottom-k (hash, value) samples, bounded heap) -> exactly ONE Exchange (the
+merge groupBy) -> HashAggregate; NO Window and no full per-group value sort
+(those exist only in the quantile_sketch verification twin). Enforced by
+test_plans.py.""",
+    "weighted_sample": """Deterministic A-Res weighted reservoir (round-4
+wave 2). Wanted shape: the md5-derived ln(u)/w priority is a Project inside
+WholeStageCodegen feeding MapInPandas (per-partition k-row reservoirs) ->
+ONE merge Exchange -> HashAggregate -> Generate (the explode back to rows).
+No Window rank (that is the oracle's naive form), no row-wise Python.
+Enforced by test_plans.py.""",
+    "contamination_bloom": """Bloom-pruned decontamination (round-4 wave 2).
+Wanted shape: train shingles flow scan -> Generate (shingle explode) ->
+ArrowEvalPython (the vectorized bitmap probe — 16 KiB broadcast, NOT the
+shingle-string set) -> exact verify join against the benchmark shingles on
+the pruned sliver -> per-doc aggregate. No BatchEvalPython (row-wise), no
+cartesian; scans pruned to (doc_id, text). Enforced by test_plans.py.""",
+    "bm25_topk": """BM25 ranked retrieval (round-4 wave 3). Wanted shape: the
+literal query vocabulary filters the token explode INSIDE codegen before any
+exchange (the isin shows up in the Filter above Generate), so the only
+aggregates run over the query-term slice; df/idf and corpus stats ride
+BroadcastExchanges; the final per-query top-k is a Window over the tiny
+scored slice. Fixed-point integer scores keep the ranking
+partitioning-independent.""",
+    "grouped_heavy_hitters": """Per-group Misra-Gries heavy hitters (round-4
+wave 3). Wanted shape: pass 1 MapInPandas (one bounded MG summary per
+(partition, group)); pass 2 BroadcastHashJoin of the (group, token)
+candidate set against the exploded token stream, then the per-group exact
+recount — the full per-group vocabulary is never a shuffle key.""",
+    "unigram_logprob": """Per-doc unigram-LM fluency score (round-4 wave 3).
+Wanted shape: both heavy joins keyed on token — the unigram count table and
+the exploded token stream come out of the SAME exchange family
+(co-partitioned at scale); corpus totals ride a broadcast one-row aggregate;
+per-token log-probs are fixed-point int64 Projects so the per-doc SUM is a
+plain integer HashAggregate pair on doc_id.""",
 }
 
 
@@ -226,6 +262,28 @@ def main() -> None:
     from entity_extractor_spark.operators.multimodal import avi_payloads, sample_avi_frames
 
     plans["avi_codec"] = sample_avi_frames(avi_payloads(docs.select("doc_id", "text")))
+
+    from entity_extractor_spark.operators.decontam import contamination_report_bloom
+    from entity_extractor_spark.operators.sampling import weighted_sample
+    from entity_extractor_spark.operators.search import bm25_topk
+    from entity_extractor_spark.operators.sketches import (
+        grouped_heavy_hitters,
+        quantile_sketch_merged,
+    )
+    from entity_extractor_spark.operators.textstats import unigram_logprob
+
+    plans["quantile_merge"] = quantile_sketch_merged(
+        docs, "lang", F.length(F.col("text")), "doc_id"
+    )
+    plans["weighted_sample"] = weighted_sample(
+        docs, "lang", "doc_id", F.length(F.col("text"))
+    )
+    plans["contamination_bloom"] = contamination_report_bloom(
+        docs.filter(F.col("doc_id") >= 5), docs.filter(F.col("doc_id") < 5), n=4
+    )
+    plans["bm25_topk"] = bm25_topk(docs, [("q1", "spark stream")], k=10)
+    plans["grouped_heavy_hitters"] = grouped_heavy_hitters(docs, "lang")
+    plans["unigram_logprob"] = unigram_logprob(docs)
 
     out = [
         "# PLANS — physical plans of the flagship stages",
