@@ -433,6 +433,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # fluency score, fixed-point integer sums) — each verified green via
 # tools/check_contract.py at sf0.001 AND sf0.01. Rotating out, each
 # green in r02 AND r03: ann_lsh_topk, ann_ivf_topk, embedding_dups_lsh.
+# FOURTH LATE-ROUND-4 ROTATION: postings_stream_parity (incremental
+# gram-index maintenance — the batch posting builder run under
+# Structured Streaming into an append-only sink, drained ≡ the batch
+# index; closes the S2/P5 loop under continuous ingest), verified green
+# via tools/check_contract.py at sf0.001 AND sf0.01. Rotating out:
+# keyword_hits (green r02 AND r03).
 PRIORITY_KEYS = [
     # core SURVEY §2 set (round-1 gap: no driver row); value_counts /
     # bool_sum / union_distinct went green in r02 and rotate out for the
@@ -441,7 +447,7 @@ PRIORITY_KEYS = [
     # two_level_agg went green in r02 and rotates out for pii_scrub
     # (round-3 addition, no driver history)
     "mention_counts", "mention_flags", "context_window", "exact_token_match",
-    "keyword_hits", "composite_likelihood",
+    "composite_likelihood",
     "topk_groups",
     "window_lag",
     # flagship KG keys that fell outside the round-1 window
@@ -485,6 +491,8 @@ PRIORITY_KEYS = [
     # third late-round-4 rotation (wave 3): ranked retrieval, grouped
     # frequency sketch, unigram-LM quality scoring — first driver rows
     "bm25_topk", "grouped_heavy_hitters", "unigram_logprob",
+    # fourth late-round-4 rotation: incremental index maintenance parity
+    "postings_stream_parity",
 ]
 
 

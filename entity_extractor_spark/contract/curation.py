@@ -575,6 +575,35 @@ def q_hh_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hh_recount(docs, cands).orderBy("token")
 
 
+def q_postings_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental gram-index maintenance: drain the documents table
+    through the BATCH posting builder applied to a file STREAM
+    (`operators/search.build_gram_postings` is a pure stateless
+    select+explode, so the identical plan runs under Structured
+    Streaming) into an append-only parquet sink — the production form of
+    index upkeep, where each arriving corpus file appends exactly its
+    own postings (exactly-once via the checkpoint) and the index is
+    never rebuilt. The drained sink must equal the batch-built posting
+    table row-for-row; the oracle derives the same distinct (doc, gram)
+    set in SQL. Closes the S2/P5 loop: the layout the search path
+    assumes (`write_range_clustered(gram)`) stays maintainable under
+    continuous ingest."""
+    from entity_extractor_spark.operators.search import build_gram_postings
+
+    stream, out, ckpt = _parity_stream_table(spark, sf_dir, "postings", "documents")
+    q = (
+        build_gram_postings(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).orderBy("doc_id", "gram")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
@@ -612,6 +641,7 @@ QUERIES = {
     "windowed_counts_parity": q_windowed_counts_parity,
     "sessionize_parity": q_sessionize_parity,
     "hh_stream_parity": q_hh_stream_parity,
+    "postings_stream_parity": q_postings_stream_parity,
 }
 
 
@@ -1117,6 +1147,18 @@ def _oracles() -> dict[str, str]:
         # recounted output must equal the batch heavy-hitter set exactly,
         # so the oracle IS the same exact SQL as the `heavy_hitters` key
         "hh_stream_parity": _hh_sql("documents"),
+        # the drained append-only sink must equal the batch posting build:
+        # distinct lowercased char-3-grams per doc (sub-3-char texts emit
+        # no postings). range(1, L-1) is [1, L-2] inclusive = the last
+        # 3-gram start position.
+        "postings_stream_parity": """
+            SELECT doc_id, gram FROM (
+              SELECT DISTINCT doc_id,
+                     substr(lower(text), CAST(i AS INTEGER), 3) AS gram
+              FROM documents, LATERAL unnest(range(1, length(text) - 1)) AS t(i)
+              WHERE length(text) >= 3
+            ) ORDER BY doc_id, gram
+        """,
         # pair graph = the minhash-LSH pipeline at DUP_CLUSTER_T (guard
         # mirrored), clusters = transitive closure (the recursive-CTE twin
         # of the pointer-jumping CC), representative = min doc_id

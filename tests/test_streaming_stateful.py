@@ -322,3 +322,37 @@ def test_heavy_hitters_stream_state_is_bounded(spark, tmp_path):
     _drain(build, inp, ckpt, outp)
     n_cands = spark.read.parquet(outp).count()
     assert n_cands <= shards * math.ceil(1.0 / support)
+
+
+def test_postings_stream_append_across_drains(spark, tmp_path):
+    """Incremental gram-index maintenance: two corpus waves drained
+    through the batch posting builder under Structured Streaming must
+    append exactly each wave's postings once (exactly-once via the
+    checkpoint) — the union equals the batch build over the combined
+    corpus, with no duplicates from the restart."""
+    from entity_extractor_spark.operators.search import build_gram_postings
+
+    inp, ckpt, outp = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
+    wave1 = [(1, "hello spark"), (2, "ab")]  # doc 2: sub-3-char, no postings
+    wave2 = [(3, "hello again")]
+
+    def build(path):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+        return build_gram_postings(stream)
+
+    pd_schema = ["doc_id", "text"]
+    for wave in (wave1, wave2):
+        pdf = pd.DataFrame(wave, columns=pd_schema)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(inp)
+        _drain(build, inp, ckpt, outp)
+
+    got = {tuple(r) for r in spark.read.parquet(outp).collect()}
+    batch = {
+        tuple(r)
+        for r in build_gram_postings(
+            spark.createDataFrame(wave1 + wave2, "doc_id long, text string")
+        ).collect()
+    }
+    assert got == batch
+    assert not any(d == 2 for d, _ in got)
+    assert spark.read.parquet(outp).count() == len(got)  # no dup rows
