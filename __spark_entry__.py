@@ -448,7 +448,6 @@ PRIORITY_KEYS = [
     # (round-3 addition, no driver history)
     "mention_counts", "mention_flags", "context_window", "exact_token_match",
     "composite_likelihood",
-    "topk_groups",
     "window_lag",
     # flagship KG keys that fell outside the round-1 window
     "cc_components", "graph_edges", "likelihood_filter", "predicate_triples",
@@ -492,7 +491,9 @@ PRIORITY_KEYS = [
     # frequency sketch, unigram-LM quality scoring — first driver rows
     "bm25_topk", "grouped_heavy_hitters", "unigram_logprob",
     # fourth late-round-4 rotation: incremental index maintenance parity
-    "postings_stream_parity",
+    # plus KMV sketch-algebra overlap estimation (kmv_overlap displaces
+    # topk_groups, green r02 AND r03)
+    "postings_stream_parity", "kmv_overlap",
 ]
 
 

@@ -94,10 +94,12 @@ HEADLINE = [
     "quantile_merge",
     "weighted_sample",
     "contamination_bloom",
-    # round-4 wave 3: ranked retrieval, grouped frequency, unigram LM
+    # round-4 wave 3: ranked retrieval, grouped frequency, unigram LM,
+    # KMV sketch-algebra overlap
     "bm25_topk",
     "grouped_heavy_hitters",
     "unigram_logprob",
+    "kmv_overlap",
 ]
 
 

@@ -35,6 +35,8 @@ from entity_extractor_spark.operators.sketches import (
     kmv_distinct,
     kmv_distinct_sql,
     grouped_heavy_hitters_sql,
+    kmv_overlap,
+    kmv_overlap_sql,
     kmv_sketch_only,
     quantile_sketch,
     quantile_sketch_merged,
@@ -208,6 +210,19 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(_load(spark, sf_dir, "documents")).orderBy("token")
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise language-slice vocabulary overlap from KMV sketches
+    (bottom-k Jaccard + union/intersection estimates) — the
+    mergeable-sketch algebra over the same shingle universe as
+    kmv_distinct."""
+    d = _load(spark, sf_dir, "documents")
+    exploded = d.select(
+        F.col("lang"),
+        F.explode(T.word_shingles(T.tokenize(F.col("text")), KMV_SHINGLE_N)).alias("val"),
+    )
+    return kmv_overlap(exploded, "lang", "val").orderBy("lang_a", "lang_b")
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k-sample quantile sketch, verification twin: exact
     nearest-rank doc-length quantiles per language next to the
@@ -301,6 +316,7 @@ QUERIES = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "kmv_distinct": q_kmv_distinct,
     "kmv_sketch": q_kmv_sketch,
+    "kmv_overlap": q_kmv_overlap,
     "heavy_hitters": q_heavy_hitters,
     "ann_sq8_topk": q_ann_sq8_topk,
     "contamination": q_contamination,
@@ -372,6 +388,7 @@ def _oracles() -> dict[str, str]:
             WHERE levenshtein(a.c_name, b.c_name) <= 1
             ORDER BY id_a, id_b""",
         "kmv_distinct": kmv_distinct_sql(kmv_rel, "lang") + "\nORDER BY lang",
+        "kmv_overlap": kmv_overlap_sql(kmv_rel, "lang") + "\nORDER BY lang_a, lang_b",
         "kmv_sketch": (
             "SELECT lang, kmv_estimate FROM ("
             + kmv_distinct_sql(kmv_rel, "lang")

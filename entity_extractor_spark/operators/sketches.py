@@ -186,6 +186,102 @@ def kmv_sketch_only(
     )
 
 
+def kmv_overlap(
+    df: DataFrame, group_col: str, value_col, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise corpus-overlap estimation from KMV sketches — the
+    mergeable-sketch ALGEBRA payoff: once each group (corpus slice,
+    source, language) carries a bottom-k sketch, the Jaccard similarity,
+    union cardinality, and intersection cardinality of ANY pair are
+    computable from the two k-element sketches alone, never rescanning
+    the data (Beyer et al. PODS'07 §4). The estimators:
+
+      M        = k smallest of S_a ∪ S_b   (the union's own KMV sketch)
+      J_est    = |M ∩ S_a ∩ S_b| / |M|     (bottom-k Jaccard)
+      union_est = KMV estimate from M       (lossless when |M| < k)
+      inter_est = J_est * union_est
+
+    At 100 TB the per-group sketch comes from the bounded
+    :func:`kmv_partials` path; here the contract form derives it with
+    the same window-rank machinery as :func:`kmv_distinct` so the DuckDB
+    twin is exact. Everything downstream of the hashes is integer-array
+    arithmetic plus one division — bit-identical cross-engine. The
+    pipeline use: train-slice overlap diagnostics (which sources share
+    vocabulary, how much a new crawl overlaps the existing corpus) at
+    sketch cost instead of a distinct-join over the corpus.
+
+    Output: one row per unordered group pair (grp_a < grp_b) with
+    ``jaccard_est``, ``union_est``, ``inter_est`` (rounded 4dp both
+    engines)."""
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    dv = (
+        df.select(F.col(group_col).alias("grp"), vc.alias("val"))
+        .filter(F.col("val").isNotNull())
+        .dropDuplicates(["grp", "val"])
+    )
+    hashed = dv.select("grp", _hval(F.col("val")).alias("h")).dropDuplicates(
+        ["grp", "h"]
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    sk = (
+        hashed.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .groupBy("grp")
+        .agg(F.array_sort(F.collect_list("h")).alias("sk"))
+    )
+    a = sk.select(F.col("grp").alias("grp_a"), F.col("sk").alias("sa"))
+    b = sk.select(F.col("grp").alias("grp_b"), F.col("sk").alias("sb"))
+    pairs = a.join(b, F.col("grp_a") < F.col("grp_b"))
+    m = F.slice(F.array_sort(F.array_union("sa", "sb")), 1, k)
+    inter = F.size(F.array_intersect(F.array_intersect(m, F.col("sa")), F.col("sb")))
+    msz = F.size(m)
+    jacc = inter.cast("double") / msz.cast("double")
+    union_est = F.when(msz < k, msz.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.element_at(m, k).cast("double")
+    )
+    return pairs.select(
+        F.col("grp_a").alias(f"{group_col}_a"),
+        F.col("grp_b").alias(f"{group_col}_b"),
+        F.round(jacc, 4).alias("jaccard_est"),
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jacc * union_est, 4).alias("inter_est"),
+    )
+
+
+def kmv_overlap_sql(rel: str, group_col: str, k: int = KMV_K) -> str:
+    """DuckDB twin of :func:`kmv_overlap`; ``rel`` must yield columns
+    ``grp`` and ``val`` (pre-exploded)."""
+    return f"""WITH _ko_dv AS (SELECT DISTINCT grp, val FROM ({rel}) WHERE val IS NOT NULL),
+        _ko_h AS (SELECT DISTINCT grp, {_hval_sql('val')} AS h FROM _ko_dv),
+        _ko_r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS r FROM _ko_h),
+        _ko_s AS (
+          SELECT grp, list_sort(list(h)) AS sk FROM _ko_r WHERE r <= {k} GROUP BY grp
+        ),
+        _ko_p AS (
+          SELECT a.grp AS grp_a, b.grp AS grp_b, a.sk AS sa, b.sk AS sb
+          FROM _ko_s a JOIN _ko_s b ON a.grp < b.grp
+        ),
+        _ko_m AS (
+          SELECT grp_a, grp_b, sa, sb,
+                 list_sort(list_distinct(list_concat(sa, sb)))[1:{k}] AS m
+          FROM _ko_p
+        ),
+        _ko_e AS (
+          SELECT grp_a, grp_b,
+                 len(list_intersect(list_intersect(m, sa), sb)) AS inter,
+                 len(m) AS msz, m
+          FROM _ko_m
+        )
+        SELECT grp_a AS {group_col}_a, grp_b AS {group_col}_b,
+               round(CAST(inter AS DOUBLE) / CAST(msz AS DOUBLE), 4) AS jaccard_est,
+               round(CASE WHEN msz < {k} THEN CAST(msz AS DOUBLE)
+                          ELSE {float(k - 1)!r} * {_HASH_SPACE!r} / CAST(m[{k}] AS DOUBLE) END, 4) AS union_est,
+               round((CAST(inter AS DOUBLE) / CAST(msz AS DOUBLE)) *
+                     (CASE WHEN msz < {k} THEN CAST(msz AS DOUBLE)
+                           ELSE {float(k - 1)!r} * {_HASH_SPACE!r} / CAST(m[{k}] AS DOUBLE) END), 4) AS inter_est
+        FROM _ko_e"""
+
+
 QS_K = 64
 # (name, numerator, denominator) — quantiles as exact rationals so the
 # nearest-rank index ceil(q*m) is pure integer arithmetic on both engines

@@ -665,3 +665,39 @@ def test_unigram_logprob_known_answer(spark):
     assert rows[1]["n_tokens"] == 2 and rows[1]["sum_lp_fp"] == 2 * lp_a
     assert rows[2]["sum_lp_fp"] == lp_a + lp_b
     assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]  # typical > rare
+
+
+# --------------------------------------------------------------------------- KMV overlap
+
+
+def test_kmv_overlap_identical_disjoint_and_partial(spark):
+    """Sketch-algebra estimators: identical slices → jaccard 1.0 and a
+    lossless intersection; disjoint slices → 0.0; a planted 50% overlap
+    estimates within the bottom-k error bound."""
+    from entity_extractor_spark.operators.sketches import kmv_overlap
+
+    rows = []
+    rows += [("a", f"v{i}") for i in range(200)]
+    rows += [("b", f"v{i}") for i in range(200)]          # identical to a
+    rows += [("c", f"w{i}") for i in range(200)]          # disjoint from a
+    rows += [("d", f"v{i}") for i in range(100)] + [("d", f"x{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = {(r["grp_a"], r["grp_b"]): r for r in kmv_overlap(df, "grp", "val", k=64).collect()}
+    ab = out[("a", "b")]
+    assert ab["jaccard_est"] == 1.0
+    ac = out[("a", "c")]
+    assert ac["jaccard_est"] == 0.0 and ac["inter_est"] == 0.0
+    ad = out[("a", "d")]
+    # true J(a,d) = 100/300 = 0.333; bottom-k at k=64 has stderr ~ 1/sqrt(k)
+    assert 0.15 < ad["jaccard_est"] < 0.55
+    assert ad["union_est"] > ab["union_est"]  # a∪d is genuinely larger
+
+
+def test_kmv_overlap_partitioning_invariant(spark):
+    from entity_extractor_spark.operators.sketches import kmv_overlap
+
+    rows = [(g, f"{g}{i % 97}") for g in "pq" for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    r1 = {tuple(r) for r in kmv_overlap(df.repartition(1), "grp", "val").collect()}
+    r7 = {tuple(r) for r in kmv_overlap(df.repartition(7), "grp", "val").collect()}
+    assert r1 == r7 and len(r1) == 1
