@@ -143,6 +143,14 @@ the exploded token stream come out of the SAME exchange family
 (co-partitioned at scale); corpus totals ride a broadcast one-row aggregate;
 per-token log-probs are fixed-point int64 Projects so the per-doc SUM is a
 plain integer HashAggregate pair on doc_id.""",
+    "kmv_overlap": """Pairwise slice-overlap from KMV sketches (round 4).
+Wanted shape: the data-touching part is exactly kmv_distinct's sketch
+derivation (one distinct exchange + window rank per group); the pair stage
+then joins G one-row-per-group sketch rows — a nested-loop over G² sketch
+pairs is CORRECT here because G is the number of corpus slices, not data
+rows, and every estimator is array arithmetic over the two k-element
+sketches. At 100 TB the sketch rows come from the bounded kmv_partials
+path and the overlap matrix costs O(G²k), independent of corpus size.""",
 }
 
 
@@ -284,6 +292,12 @@ def main() -> None:
     plans["bm25_topk"] = bm25_topk(docs, [("q1", "spark stream")], k=10)
     plans["grouped_heavy_hitters"] = grouped_heavy_hitters(docs, "lang")
     plans["unigram_logprob"] = unigram_logprob(docs)
+
+    from entity_extractor_spark.operators.sketches import kmv_overlap
+
+    plans["kmv_overlap"] = kmv_overlap(
+        docs.select("lang", F.col("text").alias("val")), "lang", "val"
+    )
 
     out = [
         "# PLANS — physical plans of the flagship stages",
