@@ -448,7 +448,6 @@ PRIORITY_KEYS = [
     # (round-3 addition, no driver history)
     "mention_counts", "mention_flags", "context_window", "exact_token_match",
     "composite_likelihood",
-    "window_lag",
     # flagship KG keys that fell outside the round-1 window
     "cc_components", "graph_edges", "likelihood_filter", "predicate_triples",
     # round-2 fixes (previously hash-fail / rows-only / new)
@@ -459,7 +458,6 @@ PRIORITY_KEYS = [
     # ann_brute_topk, exact_mode_scan, tfidf_topk, lang_id_counts;
     # quality_scores (green in r01 AND r02) rotates out for khop_neighbors
     # (round-3 addition, no driver history)
-    "multimodal_meta",
     # round-3 rotation: first-ever driver rows for the three round-2 additions
     # plus the two retrieval-quality metrics
     "ner_training_export", "stratified_sample", "sequence_packing_sorted",
@@ -470,8 +468,6 @@ PRIORITY_KEYS = [
     "kmv_distinct",
     "ann_sq8_topk", "contamination",
     "dup_clusters", "repetition_signals", "heavy_hitters", "pii_scrub",
-    # kernel / grouped / temporal flagships
-    "interval_join",
     # round-4 rotation: first driver rows for the four post-r03-window
     # additions plus the round-4 real image codec
     "link_prediction", "wav_decode", "fuzzy_name_pairs", "indexed_search",
@@ -494,6 +490,10 @@ PRIORITY_KEYS = [
     # plus KMV sketch-algebra overlap estimation (kmv_overlap displaces
     # topk_groups, green r02 AND r03)
     "postings_stream_parity", "kmv_overlap",
+    # fifth late-round-4 rotation: event-analytics trio (ordered funnel,
+    # weekly retention cohorts, Markov transition counts) — displacing
+    # window_lag, multimodal_meta, interval_join (each green r02 AND r03)
+    "funnel_steps", "retention_cohorts", "event_transitions",
 ]
 
 

@@ -100,6 +100,10 @@ HEADLINE = [
     "grouped_heavy_hitters",
     "unigram_logprob",
     "kmv_overlap",
+    # round-4 wave 5: event-analytics trio
+    "funnel_steps",
+    "retention_cohorts",
+    "event_transitions",
 ]
 
 

@@ -23,6 +23,14 @@ from entity_extractor_spark.operators.decontam import (
     contamination_report_bloom,
     contamination_report_sql,
 )
+from entity_extractor_spark.operators.event_analytics import (
+    event_transitions,
+    event_transitions_sql,
+    funnel_steps,
+    funnel_steps_sql,
+    retention_cohorts,
+    retention_cohorts_sql,
+)
 from entity_extractor_spark.operators.sampling import (
     weighted_sample,
     weighted_sample_sql,
@@ -255,6 +263,40 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "id")
 
 
+FUNNEL = ["view", "click", "purchase"]
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ordered view→click→purchase funnel over the events table
+    (operators/event_analytics.funnel_steps)."""
+    e = _load(spark, sf_dir, "events")
+    return funnel_steps(e, FUNNEL).orderBy("step")
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: (first-event cohort week, week offset,
+    active users). The cohort week is emitted as an ISO string — Spark
+    DATE and DuckDB DATE reach pandas as different dtypes (date object
+    vs datetime64), so the hash compare needs the common string form."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        retention_cohorts(e)
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts of the per-user event
+    stream (ties broken by event_id on both engines)."""
+    e = _load(spark, sf_dir, "events")
+    return event_transitions(e).orderBy("prev_type", "next_type")
+
+
 BM25_QUERIES = [
     ("q1", "spark stream processing"),
     ("q2", "hash join query"),
@@ -327,6 +369,9 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "grouped_heavy_hitters": q_grouped_heavy_hitters,
     "unigram_logprob": q_unigram_logprob,
+    "funnel_steps": q_funnel_steps,
+    "retention_cohorts": q_retention_cohorts,
+    "event_transitions": q_event_transitions,
 }
 
 
@@ -429,6 +474,15 @@ def _oracles() -> dict[str, str]:
         )
         + "\nORDER BY lang, token",
         "unigram_logprob": unigram_logprob_sql("documents") + "\nORDER BY doc_id",
+        "funnel_steps": funnel_steps_sql(FUNNEL) + "\nORDER BY step",
+        "retention_cohorts": (
+            "SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,"
+            " week_offset, n_users FROM ("
+            + retention_cohorts_sql()
+            + ")\nORDER BY cohort_week, week_offset"
+        ),
+        "event_transitions": event_transitions_sql()
+        + "\nORDER BY prev_type, next_type",
         "ann_sq8_topk": sq8_cte,
         "contamination": contamination_report_sql(
             f"SELECT doc_id, text FROM documents WHERE doc_id >= {BENCH_DOC_MAX_ID}",

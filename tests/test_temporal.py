@@ -127,3 +127,82 @@ def test_sessionize_gap_rule(spark):
     stats = {r["user_id"]: r for r in session_stats(df, "user_id", gap_seconds=1800).collect()}
     assert stats[1]["n_sessions"] == 2 and stats[1]["n_events"] == 3
     assert stats[2]["n_sessions"] == 1
+
+
+# --------------------------------------------------------------------------- event analytics
+
+
+def _ev(spark, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf)
+
+
+def test_funnel_strict_order_and_dropoff(spark):
+    """u1 completes in order; u2 clicked only BEFORE their first view
+    (must not count at step 2); u3 never purchases."""
+    from entity_extractor_spark.operators.event_analytics import funnel_steps
+
+    e = _ev(
+        spark,
+        [
+            (1, "2024-01-01 10:00", 1, "view"),
+            (2, "2024-01-01 10:01", 1, "click"),
+            (3, "2024-01-01 10:02", 1, "purchase"),
+            (4, "2024-01-01 09:00", 2, "click"),
+            (5, "2024-01-01 09:30", 2, "view"),
+            (6, "2024-01-01 09:45", 2, "purchase"),
+            (7, "2024-01-01 11:00", 3, "view"),
+            (8, "2024-01-01 11:30", 3, "click"),
+        ],
+    )
+    rows = {
+        r["step"]: r["n_users"]
+        for r in funnel_steps(e, ["view", "click", "purchase"]).collect()
+    }
+    assert rows == {1: 3, 2: 2, 3: 1}
+
+
+def test_retention_cohort_triangle(spark):
+    """Two users in the same Monday cohort; one returns the next week."""
+    from entity_extractor_spark.operators.event_analytics import retention_cohorts
+
+    e = _ev(
+        spark,
+        [
+            (1, "2024-01-01 10:00", 1, "view"),   # Mon, week 0
+            (2, "2024-01-10 10:00", 1, "view"),   # next week -> offset 1
+            (3, "2024-01-03 10:00", 2, "view"),   # same cohort week
+        ],
+    )
+    rows = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(e).collect()
+    }
+    assert rows == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1}
+
+
+def test_event_transitions_tiebreak_deterministic(spark):
+    """Two events at the SAME timestamp order by event_id — the pair
+    stream is fixed, and a repartition cannot change it."""
+    from entity_extractor_spark.operators.event_analytics import event_transitions
+
+    e = _ev(
+        spark,
+        [
+            (1, "2024-01-01 10:00", 1, "view"),
+            (3, "2024-01-01 10:05", 1, "purchase"),  # same ts, higher id
+            (2, "2024-01-01 10:05", 1, "click"),     # same ts, lower id
+            (4, "2024-01-01 10:00", 2, "view"),
+            (5, "2024-01-01 10:01", 2, "view"),
+        ],
+    )
+    exp = {("view", "click"): 1, ("click", "purchase"): 1, ("view", "view"): 1}
+    for parts in (1, 5):
+        got = {
+            (r["prev_type"], r["next_type"]): r["n"]
+            for r in event_transitions(e.repartition(parts)).collect()
+        }
+        assert got == exp
