@@ -151,6 +151,11 @@ pairs is CORRECT here because G is the number of corpus slices, not data
 rows, and every estimator is array arithmetic over the two k-element
 sketches. At 100 TB the sketch rows come from the bounded kmv_partials
 path and the overlap matrix costs O(G²k), independent of corpus size.""",
+    "funnel_steps": """Strict-ordered event funnel (round 4). Wanted shape: one
+filtered partial/final HashAggregate pair per step, chained by equi joins on
+the USER key only — on a user-bucketed events table every join co-locates,
+and AQE broadcasts the shrinking survivor side at each step. No window over
+the event stream, no per-event state, no cartesian.""",
 }
 
 
@@ -298,6 +303,11 @@ def main() -> None:
     plans["kmv_overlap"] = kmv_overlap(
         docs.select("lang", F.col("text").alias("val")), "lang", "val"
     )
+
+    from entity_extractor_spark.operators.event_analytics import funnel_steps
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plans["funnel_steps"] = funnel_steps(ev, ["view", "click", "purchase"])
 
     out = [
         "# PLANS — physical plans of the flagship stages",
