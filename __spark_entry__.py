@@ -450,8 +450,6 @@ PRIORITY_KEYS = [
     "composite_likelihood",
     # flagship KG keys that fell outside the round-1 window
     "cc_components", "graph_edges", "likelihood_filter", "predicate_triples",
-    # round-2 fixes (previously hash-fail / rows-only / new)
-    "salted_collect",
     # training-data curation suite (first-class per the judge); keys green
     # in BOTH r01 and r02 rotate out for the round-3 additions:
     # dedup_exact, minhash_signature, ngram_jaccard_pairs, simhash_pairs,
@@ -494,6 +492,10 @@ PRIORITY_KEYS = [
     # weekly retention cohorts, Markov transition counts) — displacing
     # window_lag, multimodal_meta, interval_join (each green r02 AND r03)
     "funnel_steps", "retention_cohorts", "event_transitions",
+    # sixth late-round-4 rotation: prefix-filtered EXACT Jaccard join
+    # (AllPairs/PPJoin family) proven lossless vs the quadratic oracle —
+    # displacing salted_collect (green r02 AND r03)
+    "prefix_jaccard_pairs",
 ]
 
 

@@ -104,6 +104,10 @@ HEADLINE = [
     "funnel_steps",
     "retention_cohorts",
     "event_transitions",
+    # round-4 wave 6: prefix-filtered exact Jaccard join — unlike the
+    # excluded low-threshold pair emitters, t=0.8 keeps the output (and
+    # the rarest-first candidate join) bounded on this corpus
+    "prefix_jaccard_pairs",
 ]
 
 

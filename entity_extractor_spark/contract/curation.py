@@ -58,6 +58,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("i", "j")
 
 
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard join (AllPairs/PPJoin family) at
+    t = 4/5; the oracle is the naive quadratic join, so the hash match
+    proves the rarest-first prefix filter loses no pair."""
+    return D.prefix_jaccard_pairs(_load(spark, sf_dir, "documents")).orderBy("i", "j")
+
+
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_load(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -609,6 +616,7 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dups": q_embedding_dups,
@@ -950,6 +958,8 @@ def _oracles() -> dict[str, str]:
             {_JACCARD_TAIL}
             SELECT i, j, jaccard FROM jac WHERE jaccard >= {NGRAM_JACCARD_T} ORDER BY i, j
         """,
+        "prefix_jaccard_pairs": D.prefix_jaccard_pairs_sql("documents")
+        + "\nORDER BY i, j",
         "simhash_fingerprint": f"""
             WITH {_simhash_cte()}
             SELECT doc_id, simhash FROM sh ORDER BY doc_id

@@ -214,6 +214,108 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT shingle-Jaccard pairs >= t (= t_num/t_den) via prefix
+    filtering (Bayardo et al. WWW'07 AllPairs / Chaudhuri et al.
+    SSJoin) — the exact-threshold scale path of the near-dup suite,
+    complementing MinHash-LSH (probabilistic) and
+    :func:`ngram_jaccard_pairs` (whose candidate join touches EVERY
+    shared shingle).
+
+    Order the shingle universe rarest-first (document frequency asc,
+    shingle asc — deterministic on both engines); each doc's PREFIX is
+    its first ``sz - ceil(t*sz) + 1`` shingles under that order. Two
+    sets with Jaccard >= t have overlap >= t*max(|A|,|B|), and sets
+    with overlap >= a must share one of their first ``sz - a + 1``
+    elements under ANY common total order — so candidates = pairs
+    sharing >= 1 PREFIX shingle, a provably lossless filter. Because
+    prefixes are the RAREST ~(1-t) fraction of each doc, the candidate
+    join's posting lists are the shortest ones in the corpus — at high
+    thresholds orders of magnitude fewer candidate rows than the
+    every-shared-shingle join. The verify step recomputes Jaccard
+    exactly, with the threshold compared in INTEGER arithmetic
+    (``inter * t_den >= t_num * union``) so the cut is float-free.
+
+    The contract oracle is the naive O(N²) quadratic join — the hash
+    match proves the prefix filter loses no pair (same discipline as
+    `fuzzy_name_pairs`)."""
+    sh = docs.select(
+        F.col(id_col).alias("i"),
+        F.explode(
+            F.array_distinct(T.word_shingles(T.tokenize(F.col(text_col)), n))
+        ).alias("sh"),
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = sh.groupBy("i").agg(F.count(F.lit(1)).alias("sz"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("i").orderBy("_df", "sh")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn("r", F.row_number().over(w))
+        .join(sizes, "i")
+    )
+    # p = sz - ceil(t*sz) + 1, in integer arithmetic
+    need = F.floor(
+        (F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)
+    ).cast("long")
+    prefix = ranked.filter(F.col("r") <= F.col("sz") - need + 1).select("i", "sh")
+    cand = (
+        prefix.join(prefix.select(F.col("i").alias("j"), "sh"), "sh")
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .dropDuplicates(["i", "j"])
+    )
+    arrs = sh.groupBy("i").agg(F.sort_array(F.collect_list("sh")).alias("arr"))
+    out = (
+        cand.join(arrs.select(F.col("i"), F.col("arr").alias("ai")), "i")
+        .join(arrs.select(F.col("i").alias("j"), F.col("arr").alias("aj")), "j")
+        .withColumn("inter", F.size(F.array_intersect("ai", "aj")))
+        .withColumn("uni", F.size("ai") + F.size("aj") - F.col("inter"))
+        .filter(F.col("inter") * t_den >= F.lit(t_num) * F.col("uni"))
+    )
+    return out.select(
+        "i",
+        "j",
+        F.round(F.col("inter").cast("double") / F.col("uni").cast("double"), 6).alias(
+            "jaccard"
+        ),
+    )
+
+
+def prefix_jaccard_pairs_sql(
+    rel: str = "documents", n: int = 3, t_num: int = 4, t_den: int = 5
+) -> str:
+    """Ground-truth quadratic oracle for :func:`prefix_jaccard_pairs`:
+    every doc pair, exact list-intersection Jaccard, same integer
+    threshold — no prefix filter, so the hash match proves
+    losslessness."""
+    toks = T.tokenize_sql("text")
+    shl = T.word_shingles_sql("ts", n)
+    return f"""WITH _pj_t AS (SELECT doc_id, {toks} AS ts FROM {rel}),
+        _pj_s AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(CASE WHEN len(ts) >= {n} THEN {shl} ELSE [] END)) AS arr
+          FROM _pj_t
+        ),
+        _pj_p AS (
+          SELECT a.doc_id AS i, b.doc_id AS j,
+                 len(list_intersect(a.arr, b.arr)) AS inter,
+                 len(a.arr) + len(b.arr) - len(list_intersect(a.arr, b.arr)) AS uni
+          FROM _pj_s a JOIN _pj_s b ON a.doc_id < b.doc_id
+          WHERE len(a.arr) > 0 AND len(b.arr) > 0
+        )
+        SELECT i, j, round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jaccard
+        FROM _pj_p WHERE inter * {t_den} >= {t_num} * uni"""
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash) — 32-bit SimHash over distinct tokens.
 
