@@ -446,7 +446,7 @@ PRIORITY_KEYS = [
     # heavy_hitters), which have no driver history yet
     # two_level_agg went green in r02 and rotates out for pii_scrub
     # (round-3 addition, no driver history)
-    "mention_counts", "mention_flags", "context_window", "exact_token_match",
+    "mention_counts", "mention_flags", "context_window",
     "composite_likelihood",
     # flagship KG keys that fell outside the round-1 window
     "cc_components", "graph_edges", "likelihood_filter", "predicate_triples",
@@ -494,8 +494,11 @@ PRIORITY_KEYS = [
     "funnel_steps", "retention_cohorts", "event_transitions",
     # sixth late-round-4 rotation: prefix-filtered EXACT Jaccard join
     # (AllPairs/PPJoin family) proven lossless vs the quadratic oracle —
-    # displacing salted_collect (green r02 AND r03)
-    "prefix_jaccard_pairs",
+    # displacing salted_collect (green r02 AND r03); plus deterministic
+    # synchronous label-propagation communities (integer votes,
+    # smallest-label ties, unrolled-CTE oracle) — displacing
+    # exact_token_match (green r02 AND r03)
+    "prefix_jaccard_pairs", "lpa_communities",
 ]
 
 

@@ -108,6 +108,8 @@ HEADLINE = [
     # excluded low-threshold pair emitters, t=0.8 keeps the output (and
     # the rarest-first candidate join) bounded on this corpus
     "prefix_jaccard_pairs",
+    # round-4 wave 7: deterministic LPA communities
+    "lpa_communities",
 ]
 
 

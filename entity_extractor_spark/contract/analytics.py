@@ -112,6 +112,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_counts(_word_edges(spark, sf_dir)).orderBy("node")
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the
+    word-adjacency graph (integer votes, smallest-label ties; the
+    oracle unrolls the same rounds as chained CTEs)."""
+    return G.label_propagation(_word_edges(spark, sf_dir)).orderBy("node")
+
+
 def _entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, entity) — one row per entity from CO_LIFT_ENTITIES
     present in a document. THE shared mention derivation: co_lift,
@@ -352,6 +359,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "pagerank_tokens": q_pagerank_tokens,
     "graph_triangles": q_graph_triangles,
+    "lpa_communities": q_lpa_communities,
     "co_lift": q_co_lift,
     "khop_neighbors": q_khop_neighbors,
     "link_prediction": q_link_prediction,
@@ -414,6 +422,7 @@ def _oracles() -> dict[str, str]:
         "pagerank_tokens": G.pagerank_fixed_sql(edges)
         + "\nORDER BY rank_fp DESC, node",
         "graph_triangles": G.triangle_counts_sql(edges) + "\nORDER BY node",
+        "lpa_communities": G.label_propagation_sql(edges) + "\nORDER BY node",
         "co_lift": co_occ_order(
             G.co_occurrence_lift_sql(co_rel, max_doc_entities=CO_LIFT_DOC_CAP)
         ),

@@ -327,6 +327,91 @@ def khop_neighbors_sql(edges_rel: str, seeds: list[str], k: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT node, hop FROM _kh_v{k}"
 
 
+LPA_ITERS = 3
+
+
+def label_propagation(
+    edges: DataFrame, iters: int = LPA_ITERS, checkpoint: bool = True
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community
+    detection): every node starts labeled with itself; each round it
+    adopts the label with the highest edge-weight vote among its
+    neighbors, ties broken by the SMALLEST label — the
+    tie-deterministic variant of Raghavan et al. 2007's LPA, so the
+    result is independent of partitioning and engine (classic LPA
+    breaks ties randomly and is irreproducible by design; a fixed
+    ``iters`` with deterministic ties is the form a production pipeline
+    can regression-test).
+
+    Each round is ONE join + groupBy on the node key over the `_cut`
+    edge list (same shuffle discipline as :func:`pagerank_fixed` — the
+    edge table's bucketing is reused every round, lineage is cut so the
+    upstream edge derivation runs once). Votes are integer edge-weight
+    sums, so there is no float to diverge; the DuckDB oracle unrolls
+    the same rounds as chained CTEs and hash-matches exactly."""
+    from pyspark.sql import Window
+
+    e = _cut(_sym_weighted(edges), checkpoint)
+    nodes = _cut(e.select(F.col("src").alias("node")).dropDuplicates(["node"]), checkpoint)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("src").orderBy(F.desc("cnt"), "label")
+    for _ in range(iters):
+        votes = (
+            e.join(labels, e["dst"] == labels["node"])
+            .groupBy("src", "label")
+            .agg(F.sum("w").alias("cnt"))
+        )
+        new = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "label")
+        )
+        # every node has >= 1 neighbor by construction (nodes come from
+        # the symmetric edge list), so the vote result covers all nodes
+        labels = _cut(new, checkpoint)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "label").select("node", "label", "community_size")
+
+
+def label_propagation_sql(edges_rel: str, iters: int = LPA_ITERS) -> str:
+    """DuckDB twin of :func:`label_propagation` — the rounds unrolled as
+    chained CTEs, same integer votes, same (cnt DESC, label) tie rule."""
+    ctes = [
+        f"""_lp_raw AS ({edges_rel}),
+        _lp_e AS (
+          SELECT src, dst, count(*) AS w FROM (
+            SELECT i AS src, j AS dst FROM _lp_raw WHERE i <> j
+            UNION ALL
+            SELECT j AS src, i AS dst FROM _lp_raw WHERE i <> j
+          ) GROUP BY src, dst
+        ),
+        _lp_l0 AS (SELECT DISTINCT src AS node, src AS label FROM _lp_e)"""
+    ]
+    for it in range(1, iters + 1):
+        prev, cur = f"_lp_l{it - 1}", f"_lp_l{it}"
+        ctes.append(
+            f"""{cur} AS (
+          SELECT src AS node, label FROM (
+            SELECT e.src, l.label, sum(e.w) AS cnt,
+                   row_number() OVER (PARTITION BY e.src
+                                      ORDER BY sum(e.w) DESC, l.label) AS rn
+            FROM _lp_e e JOIN {prev} l ON e.dst = l.node
+            GROUP BY e.src, l.label
+          ) WHERE rn = 1
+        )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT l.node, l.label, s.community_size
+        FROM _lp_l{iters} l
+        JOIN (
+          SELECT label, CAST(count(*) AS BIGINT) AS community_size
+          FROM _lp_l{iters} GROUP BY label
+        ) s ON l.label = s.label"""
+    )
+
+
 def link_prediction(
     edges: DataFrame,
     max_center_degree: int | None = None,

@@ -701,3 +701,33 @@ def test_kmv_overlap_partitioning_invariant(spark):
     r1 = {tuple(r) for r in kmv_overlap(df.repartition(1), "grp", "val").collect()}
     r7 = {tuple(r) for r in kmv_overlap(df.repartition(7), "grp", "val").collect()}
     assert r1 == r7 and len(r1) == 1
+
+
+# --------------------------------------------------------------------------- label propagation
+
+
+def test_lpa_disjoint_cliques_get_distinct_communities(spark):
+    """Two disjoint triangles each converge to their smallest member's
+    label (deterministic tie rule) — two communities of size 3."""
+    from entity_extractor_spark.operators.graph_algos import label_propagation
+
+    tri = lambda a, b, c: [(a, b), (b, c), (a, c)]
+    e = _edges(spark, tri("a", "b", "c") + tri("x", "y", "z"))
+    rows = {r["node"]: (r["label"], r["community_size"]) for r in label_propagation(e).collect()}
+    assert rows == {
+        "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+        "x": ("x", 3), "y": ("x", 3), "z": ("x", 3),
+    }
+
+
+def test_lpa_partitioning_invariant(spark):
+    """Integer votes + deterministic ties: the labeling cannot depend on
+    how the edge list is partitioned."""
+    from entity_extractor_spark.operators.graph_algos import label_propagation
+
+    pairs = [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(40)]
+    e1 = _edges(spark, pairs).repartition(1)
+    e7 = _edges(spark, pairs).repartition(7)
+    r1 = {tuple(r) for r in label_propagation(e1).collect()}
+    r7 = {tuple(r) for r in label_propagation(e7).collect()}
+    assert r1 == r7 and len(r1) > 0
