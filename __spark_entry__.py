@@ -447,7 +447,6 @@ PRIORITY_KEYS = [
     # two_level_agg went green in r02 and rotates out for pii_scrub
     # (round-3 addition, no driver history)
     "mention_counts", "mention_flags", "context_window",
-    "composite_likelihood",
     # flagship KG keys that fell outside the round-1 window
     "cc_components", "graph_edges", "likelihood_filter", "predicate_triples",
     # training-data curation suite (first-class per the judge); keys green
@@ -499,6 +498,11 @@ PRIORITY_KEYS = [
     # smallest-label ties, unrolled-CTE oracle) — displacing
     # exact_token_match (green r02 AND r03)
     "prefix_jaccard_pairs", "lpa_communities",
+    # seventh late-round-4 rotation: delta-maintained hourly rollup
+    # (incremental view maintenance via idempotent batch_id partials,
+    # summed view ≡ batch GROUP BY) — displacing composite_likelihood
+    # (green r02 AND r03)
+    "rollup_stream_parity",
 ]
 
 

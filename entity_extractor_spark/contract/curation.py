@@ -611,6 +611,55 @@ def q_postings_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).orderBy("doc_id", "gram")
 
 
+def q_rollup_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: an hourly
+    (hour, event_type) rollup kept up to date by a stream of event
+    files, each micro-batch writing only its own partial counts as an
+    idempotent ``batch_id=<id>`` overwrite (the exactly-once delta-sink
+    pattern of `streaming/incremental.py` — a retried batch replaces
+    itself instead of double-counting). The serving view is the SUM over
+    the appended partials — delta-based view maintenance: the rollup is
+    never recomputed from the corpus, yet equals the batch GROUP BY
+    exactly, which is what the oracle checks (every hour, no watermark
+    finalization cut — unlike `windowed_counts_parity`, which verifies
+    the append-mode emission contract instead). The drain runs under a
+    pinned-UTC session and the hour is formatted to a TZ-free string
+    INSIDE the foreachBatch (Cast/format capture the session timezone
+    at analysis time)."""
+    stream, out, ckpt = _parity_stream_table(spark, sf_dir, "rollup", "events")
+    with _utc_drain(spark):
+        stream = stream.select(
+            "event_type", F.col("ts").cast("timestamp").alias("ts")
+        )
+
+        def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.groupBy(
+                    F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                        "hour"
+                    ),
+                    "event_type",
+                )
+                .agg(F.count(F.lit(1)).alias("partial_n"))
+                .write.mode("overwrite")
+                .parquet(f"{out}/batch_id={batch_id}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("hour", "event_type")
+        .agg(F.sum("partial_n").alias("n"))
+        .orderBy("hour", "event_type")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_signature": q_minhash_signature,
@@ -650,6 +699,7 @@ QUERIES = {
     "sessionize_parity": q_sessionize_parity,
     "hh_stream_parity": q_hh_stream_parity,
     "postings_stream_parity": q_postings_stream_parity,
+    "rollup_stream_parity": q_rollup_stream_parity,
 }
 
 
@@ -1161,6 +1211,15 @@ def _oracles() -> dict[str, str]:
         # distinct lowercased char-3-grams per doc (sub-3-char texts emit
         # no postings). range(1, L-1) is [1, L-2] inclusive = the last
         # 3-gram start position.
+        # the delta-maintained rollup must equal the batch GROUP BY over
+        # every hour (TZ-free string hours; naive == UTC under the
+        # pinned drain)
+        "rollup_stream_parity": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                   event_type, count(*) AS n
+            FROM events GROUP BY hour, event_type
+            ORDER BY hour, event_type
+        """,
         "postings_stream_parity": """
             SELECT doc_id, gram FROM (
               SELECT DISTINCT doc_id,

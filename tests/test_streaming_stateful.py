@@ -252,6 +252,7 @@ def test_parity_keys_match_oracle_under_non_utc_timezone(spark):
             "windowed_counts_parity",
             "sessionize_parity",
             "hh_stream_parity",  # epoch-ms arithmetic only — TZ-free by construction
+            "rollup_stream_parity",  # pinned-UTC drain + TZ-free string hours
         ):
             got = qs[key](spark, sf).toPandas()
             exp = con.execute(oracles[key]).df()
@@ -356,3 +357,66 @@ def test_postings_stream_append_across_drains(spark, tmp_path):
     assert got == batch
     assert not any(d == 2 for d, _ in got)
     assert spark.read.parquet(outp).count() == len(got)  # no dup rows
+
+
+def test_rollup_delta_maintenance_across_drains(spark, tmp_path):
+    """Delta-based rollup maintenance: each drain writes ONLY its own
+    batch partials (idempotent batch_id dirs), and the summed view
+    always equals the batch GROUP BY over everything ingested so far —
+    the first wave's files are never rewritten by the second drain."""
+    import os
+
+    import __spark_entry__  # noqa: F401  (same helpers used by the contract key)
+    from entity_extractor_spark.contract.curation import _utc_drain
+
+    inp, ckpt, out = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
+
+    def drain():
+        with _utc_drain(spark):
+            stream = (
+                spark.readStream.schema(EVENT_SCHEMA)
+                .parquet(inp)
+                .select(F.col("user_id").cast("string").alias("event_type"),
+                        F.col("ts").cast("timestamp").alias("ts"))
+            )
+
+            def up(bdf, bid):
+                (
+                    bdf.groupBy(
+                        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+                        "event_type",
+                    )
+                    .agg(F.count(F.lit(1)).alias("partial_n"))
+                    .write.mode("overwrite")
+                    .parquet(f"{out}/batch_id={bid}")
+                )
+
+            q = (
+                stream.writeStream.foreachBatch(up)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    _write_wave(spark, inp, [(1, "2026-01-01 10:05:00"), (2, "2026-01-01 10:40:00")])
+    drain()
+    batches_after_1 = set(os.listdir(out))
+    mtimes_1 = {d: os.path.getmtime(f"{out}/{d}") for d in batches_after_1 if d.startswith("batch_id")}
+    _write_wave(spark, inp, [(1, "2026-01-01 11:05:00"), (1, "2026-01-01 10:50:00")])
+    drain()
+    rollup = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("hour", "event_type")
+        .agg(F.sum("partial_n").alias("n"))
+        .collect()
+    }
+    assert rollup == {
+        ("2026-01-01 10:00", "1"): 2,
+        ("2026-01-01 10:00", "2"): 1,
+        ("2026-01-01 11:00", "1"): 1,
+    }
+    # incremental: wave-1 partials untouched by drain 2
+    for d, m in mtimes_1.items():
+        assert os.path.getmtime(f"{out}/{d}") == m
