@@ -48,6 +48,51 @@ def write_range_clustered(
     ).parquet(path)
 
 
+def zorder_key(c1, c2, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns,
+    clamped to ``bits`` bits each — pure codegen arithmetic (one
+    shift-and-mask term per bit, same discipline as the SimHash fold),
+    no UDF. Bit i of c1 lands at position 2i+1, of c2 at 2i, so nearby
+    (c1, c2) points get nearby z-values in BOTH dimensions."""
+    cap = F.lit((1 << bits) - 1)
+    a = F.least(F.greatest(c1.cast("long"), F.lit(0)), cap)
+    b = F.least(F.greatest(c2.cast("long"), F.lit(0)), cap)
+    z = None
+    for i in range(bits):
+        term = F.shiftright(a, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)) + (
+            F.shiftright(b, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        )
+        z = term if z is None else z + term
+    return z.cast("long")
+
+
+def write_zorder_clustered(
+    df: DataFrame, path: str, col1: str, col2: str, n_files: int = 8, bits: int = 16
+) -> None:
+    """Z-order-clustered layout: range-partition + sort on the Morton
+    interleave of TWO cluster keys, so every output file covers a
+    compact rectangle-ish region of the (col1, col2) plane and its
+    parquet footer min/max statistics prune files for predicates on
+    EITHER dimension — the two-column generalization of
+    :func:`write_range_clustered` (which gives perfect pruning on its
+    sort key and none on any other column). This is the local stand-in
+    for Delta/Iceberg Z-ORDER table layout. The z column is dropped
+    before the write; the curve only dictates placement.
+    Two-dimensional pruning is asserted from real file footers in
+    tests/test_sources.py (a band query on col2 skips files under this
+    layout and none under the 1-D layout)."""
+    z = zorder_key(F.col(col1), F.col(col2), bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .parquet(path)
+    )
+
+
 def write_csv_gzip(df: DataFrame, path: str) -> None:
     """S6: whole-table gzip CSV export (`output_formatter.py:26-40`)."""
     df.write.mode("overwrite").option("header", True).option(

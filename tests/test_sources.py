@@ -229,3 +229,66 @@ def test_indexed_search_equals_naive_scan(spark):
             for r in docs.filter(F.lower(F.col("text")).contains(q.lower())).collect()
         }
         assert via_index == naive, (q, via_index, naive)
+
+
+def test_write_zorder_clustered_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout (S2's two-column generalization): on a 64x64
+    (x, y) grid split into 8 files, the per-file footer bounding boxes
+    must let a thin y-band query skip at least a quarter of the files —
+    while the 1-D x-range layout spans the full y domain in EVERY file
+    and can skip none. x-point queries prune under both layouts."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from entity_extractor_spark.io.sinks import write_range_clustered, write_zorder_clustered
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+
+    def boxes(path):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            st = lambda ci: [
+                md.row_group(r).column(ci).statistics for r in range(md.num_row_groups)
+            ]
+            sx, sy = st(cols["x"]), st(cols["y"])
+            out.append(
+                (
+                    min(s.min for s in sx), max(s.max for s in sx),
+                    min(s.min for s in sy), max(s.max for s in sy),
+                )
+            )
+        return out
+
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zorder_clustered(grid, zpath, "x", "y", n_files=8, bits=6)
+    write_range_clustered(grid, rpath, ["x"], n_files=8)
+    zb, rb = boxes(zpath), boxes(rpath)
+    assert len(zb) >= 4 and len(rb) >= 4
+
+    def admits_yband(box, lo, hi):
+        _, _, ylo, yhi = box
+        return not (yhi < lo or ylo > hi)
+
+    # thin y band: y in [0, 7]
+    z_hit = sum(admits_yband(b, 0, 7) for b in zb)
+    r_hit = sum(admits_yband(b, 0, 7) for b in rb)
+    assert r_hit == len(rb)  # 1-D layout: every file spans all y
+    assert z_hit <= 3 * len(zb) // 4  # z-order: the band skips >= 1/4 of files
+
+    # x-point query prunes under BOTH layouts
+    x_hit_z = sum(1 for (xlo, xhi, _, _) in zb if xlo <= 13 <= xhi)
+    x_hit_r = sum(1 for (xlo, xhi, _, _) in rb if xlo <= 13 <= xhi)
+    assert x_hit_z < len(zb)
+    assert x_hit_r <= 2
+
+    # the layout is only placement: content round-trips exactly
+    assert spark.read.parquet(zpath).count() == 64 * 64
