@@ -110,6 +110,8 @@ HEADLINE = [
     "prefix_jaccard_pairs",
     # round-4 wave 7: deterministic LPA communities
     "lpa_communities",
+    # round-4 wave 8: semi-structured JSON payload analytics
+    "json_field_stats",
 ]
 
 

@@ -28,6 +28,8 @@ from entity_extractor_spark.operators.event_analytics import (
     event_transitions_sql,
     funnel_steps,
     funnel_steps_sql,
+    json_field_stats,
+    json_field_stats_sql,
     retention_cohorts,
     retention_cohorts_sql,
 )
@@ -297,6 +299,14 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics: per-event-type stats of the
+    integer 'k' field inside the JSON props column (codegen extraction,
+    NULL-degrading on missing/malformed values, exact integer aggs)."""
+    e = _load(spark, sf_dir, "events")
+    return json_field_stats(e).orderBy("event_type")
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts of the per-user event
     stream (ties broken by event_id on both engines)."""
@@ -380,6 +390,7 @@ QUERIES = {
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
+    "json_field_stats": q_json_field_stats,
 }
 
 
@@ -492,6 +503,7 @@ def _oracles() -> dict[str, str]:
         ),
         "event_transitions": event_transitions_sql()
         + "\nORDER BY prev_type, next_type",
+        "json_field_stats": json_field_stats_sql() + "\nORDER BY event_type",
         "ann_sq8_topk": sq8_cte,
         "contamination": contamination_report_sql(
             f"SELECT doc_id, text FROM documents WHERE doc_id >= {BENCH_DOC_MAX_ID}",

@@ -149,6 +149,43 @@ def retention_cohorts_sql(rel: str = "events") -> str:
         GROUP BY f.cohort_week, week_offset"""
 
 
+def json_field_stats(
+    events: DataFrame,
+    field: str = "k",
+    group_col: str = "event_type",
+    props_col: str = "props",
+) -> DataFrame:
+    """Per-group stats of one integer field extracted from a JSON
+    payload column — the semi-structured analytics shape (event
+    properties, tool-call arguments, crawl metadata ride along as JSON
+    strings; the warehouse queries INTO them without a schema
+    migration). Extraction stays in whole-stage codegen
+    (``get_json_object`` + try-cast: missing keys, malformed JSON, and
+    non-numeric values all degrade to NULL identically on both
+    engines), and the aggregate is exact integer arithmetic."""
+    k = F.get_json_object(F.col(props_col), f"$.{field}").try_cast("long")
+    return events.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(k).alias("n_with_field"),
+        F.min(k).alias("min_v"),
+        F.max(k).alias("max_v"),
+        F.sum(k).alias("sum_v"),
+    )
+
+
+def json_field_stats_sql(
+    rel: str = "events", field: str = "k", group_col: str = "event_type"
+) -> str:
+    """DuckDB twin of :func:`json_field_stats` (json_extract_string +
+    TRY_CAST match Spark's null-degradation semantics)."""
+    k = f"TRY_CAST(json_extract_string(props, '$.{field}') AS BIGINT)"
+    return f"""SELECT {group_col}, count(*) AS n_events,
+               count({k}) AS n_with_field,
+               min({k}) AS min_v, max({k}) AS max_v,
+               CAST(sum({k}) AS BIGINT) AS sum_v
+        FROM {rel} GROUP BY {group_col}"""
+
+
 def event_transitions(
     events: DataFrame,
     user_col: str = "user_id",

@@ -206,3 +206,25 @@ def test_event_transitions_tiebreak_deterministic(spark):
             for r in event_transitions(e.repartition(parts)).collect()
         }
         assert got == exp
+
+
+def test_json_field_stats_null_degradation(spark):
+    """Missing keys, malformed JSON, and non-numeric values must all
+    degrade to NULL (counted in n_events, excluded from the field
+    aggregates) — identically to the TRY_CAST oracle semantics."""
+    from entity_extractor_spark.operators.event_analytics import json_field_stats
+
+    rows = [
+        (1, "a", '{"k": 10}'),
+        (2, "a", '{"k": 32}'),
+        (3, "a", '{"other": 5}'),      # missing key
+        (4, "a", "not json at all"),   # malformed
+        (5, "a", '{"k": "abc"}'),      # non-numeric
+        (6, "b", '{"k": -7}'),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, props string")
+    got = {r["event_type"]: r for r in json_field_stats(df).collect()}
+    a = got["a"]
+    assert (a["n_events"], a["n_with_field"], a["min_v"], a["max_v"], a["sum_v"]) == (5, 2, 10, 32, 42)
+    b = got["b"]
+    assert (b["n_events"], b["n_with_field"], b["sum_v"]) == (1, 1, -7)
