@@ -446,7 +446,7 @@ PRIORITY_KEYS = [
     # heavy_hitters), which have no driver history yet
     # two_level_agg went green in r02 and rotates out for pii_scrub
     # (round-3 addition, no driver history)
-    "mention_counts", "context_window",
+    "mention_counts",
     # flagship KG keys that fell outside the round-1 window
     "cc_components", "graph_edges", "likelihood_filter", "predicate_triples",
     # training-data curation suite (first-class per the judge); keys green
@@ -507,6 +507,10 @@ PRIORITY_KEYS = [
     # analytics (codegen get_json_object + try_cast, NULL-degrading) —
     # displacing mention_flags (green r01 AND r02 AND r03)
     "json_field_stats",
+    # ninth late-round-4 rotation: within-doc Shannon token entropy
+    # (fixed-point quality signal) — displacing context_window (green
+    # r01 AND r02 AND r03)
+    "token_entropy",
 ]
 
 

@@ -110,8 +110,9 @@ HEADLINE = [
     "prefix_jaccard_pairs",
     # round-4 wave 7: deterministic LPA communities
     "lpa_communities",
-    # round-4 wave 8: semi-structured JSON payload analytics
+    # round-4 wave 8: semi-structured JSON payload analytics + entropy
     "json_field_stats",
+    "token_entropy",
 ]
 
 

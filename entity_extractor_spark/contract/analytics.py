@@ -38,7 +38,11 @@ from entity_extractor_spark.operators.sampling import (
     weighted_sample_sql,
 )
 from entity_extractor_spark.operators.search import bm25_topk_sql
-from entity_extractor_spark.operators.textstats import unigram_logprob_sql
+from entity_extractor_spark.operators.textstats import (
+    token_entropy,
+    token_entropy_sql,
+    unigram_logprob_sql,
+)
 from entity_extractor_spark.operators.sketches import (
     heavy_hitters,
     heavy_hitters_sql,
@@ -349,6 +353,12 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon token entropy (within-doc diversity signal,
+    fixed-point integer sums)."""
+    return token_entropy(_load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned decontamination: same train/bench split — and the
     SAME oracle SQL — as `contamination`; the Bloom bitmap + exact
@@ -391,6 +401,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "event_transitions": q_event_transitions,
     "json_field_stats": q_json_field_stats,
+    "token_entropy": q_token_entropy,
 }
 
 
@@ -504,6 +515,7 @@ def _oracles() -> dict[str, str]:
         "event_transitions": event_transitions_sql()
         + "\nORDER BY prev_type, next_type",
         "json_field_stats": json_field_stats_sql() + "\nORDER BY event_type",
+        "token_entropy": token_entropy_sql() + "\nORDER BY doc_id",
         "ann_sq8_topk": sq8_cte,
         "contamination": contamination_report_sql(
             f"SELECT doc_id, text FROM documents WHERE doc_id >= {BENCH_DOC_MAX_ID}",

@@ -377,3 +377,69 @@ def unigram_logprob_sql(rel: str = "documents", id_col: str = "doc_id") -> str:
                CAST(sum(lp_fp) AS BIGINT) AS sum_lp_fp,
                round(CAST(sum(lp_fp) AS DOUBLE) / count(*) / {ULM_FP}, 6) AS avg_logprob
         FROM _ul_lp GROUP BY {id_col}"""
+
+
+ENT_FP = 1_000_000
+
+# per-(doc, token) entropy term -p*ln(p), fixed-point int64; expression
+# text shared verbatim between the Spark plan and the DuckDB oracle
+# (same discipline as _ULM_LP), so the per-doc integer SUM is
+# partition-order independent and bit-identical cross-engine
+_ENT_TERM = (
+    f"CAST(round({ENT_FP} * (CAST(cnt AS DOUBLE) / n_tokens)"
+    f" * ln(CAST(cnt AS DOUBLE) / n_tokens)) AS BIGINT)"
+)
+
+
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    WITHIN-doc diversity quality signal (template/boilerplate and
+    stuck-generation text concentrates mass on few tokens and scores
+    low; :func:`unigram_logprob` is the complementary CROSS-doc
+    fluency signal). Two aggregations keyed by the doc id the corpus is
+    bucketed by: per-(doc, token) counts, then the fixed-point entropy
+    sum — no window, no Python, exact int64 until the final division.
+    Token-less docs have no distribution and are omitted (inner
+    aggregation), mirrored by the oracle."""
+    toks = docs.select(
+        F.col(id_col), F.explode(T.tokenize(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    n = counts.groupBy(id_col).agg(F.sum("cnt").alias("n_tokens"))
+    return (
+        counts.join(n, id_col)
+        .withColumn("term_fp", F.expr(_ENT_TERM))
+        .groupBy(id_col)
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.sum("term_fp").alias("neg_ent_fp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(-F.col("neg_ent_fp").cast("double") / F.lit(ENT_FP), 6).alias(
+                "entropy"
+            ),
+        )
+    )
+
+
+def token_entropy_sql(rel: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`token_entropy` (same fixed-point term)."""
+    toks = T.tokenize_sql("text")
+    return f"""WITH _te_t AS (
+          SELECT {id_col}, unnest({toks}) AS token FROM {rel}
+        ),
+        _te_c AS (
+          SELECT {id_col}, token, count(*) AS cnt FROM _te_t GROUP BY {id_col}, token
+        ),
+        _te_n AS (
+          SELECT {id_col}, CAST(sum(cnt) AS BIGINT) AS n_tokens
+          FROM _te_c GROUP BY {id_col}
+        )
+        SELECT c.{id_col}, max(n.n_tokens) AS n_tokens,
+               round(-CAST(sum({_ENT_TERM}) AS DOUBLE) / {ENT_FP}, 6) AS entropy
+        FROM _te_c c JOIN _te_n n USING ({id_col})
+        GROUP BY c.{id_col}"""

@@ -731,3 +731,27 @@ def test_lpa_partitioning_invariant(spark):
     r1 = {tuple(r) for r in label_propagation(e1).collect()}
     r7 = {tuple(r) for r in label_propagation(e7).collect()}
     assert r1 == r7 and len(r1) > 0
+
+
+# --------------------------------------------------------------------------- token entropy
+
+
+def test_token_entropy_known_values(spark):
+    """Hand-computed: 'a a b b' -> ln 2; 'a b c d' -> ln 4; 'a a a' -> 0;
+    boilerplate scores strictly below diverse text."""
+    import math
+
+    from entity_extractor_spark.operators.textstats import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a b b"), (2, "a b c d"), (3, "a a a")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    # per-term fixed-point rounding carries <= 0.5e-6 error per distinct
+    # token — the documented price of the order-independent integer sum
+    assert rows[1]["entropy"] == pytest.approx(math.log(2), abs=2e-6)
+    assert rows[2]["entropy"] == pytest.approx(math.log(4), abs=3e-6)
+    assert rows[3]["entropy"] == 0.0
+    assert rows[3]["entropy"] < rows[1]["entropy"] < rows[2]["entropy"]
+    assert rows[1]["n_tokens"] == 4
