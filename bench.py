@@ -148,22 +148,52 @@ def _materialize(df) -> None:
 
 
 def _emit(timings: dict, cold: dict, n_turns) -> None:
+    """Print ONE compact JSON line as the very last stdout line.
+
+    The driver records only the final 2000 bytes of stdout and parses
+    the last line as the round's bench artifact — BENCH_r02..r04 all
+    landed `"parsed": null` because the verbose payload (warm + cold
+    blocks, padded separators) overran that window and the line start
+    was cut mid-JSON. The compact line carries the warm-min timings
+    only (the reported estimator); the full record including the cold
+    pass goes to BENCH_DETAIL_LAST.json next to this script and to
+    BENCH.md's protocol tables."""
     total = round(sum(v for k, v in timings.items() if k != "turns_per_sec"), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "cold_first_run": cold,
         "cpus": CPUS,
+        "queries": timings,
+        # near-dup pair emitters + streaming parity keys are
+        # correctness-gated but excluded from timing; see BENCH.md
+        "excl": "pair-emitters+streaming (BENCH.md)",
     }
     if n_turns is not None:
         payload["n_synth_turns"] = n_turns
     if ONLY:
         payload["subset"] = ONLY
-    print(json.dumps(payload))
+    detail = dict(payload)
+    detail["cold_first_run"] = cold
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL_LAST.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout line still stands alone
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:  # must fit the driver's 2000-byte tail window
+        payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:
+        payload.pop("excl", None)
+        payload["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 def main() -> None:

@@ -72,10 +72,13 @@ def funnel_steps(
 def funnel_steps_sql(
     steps: list[str], rel: str = "events"
 ) -> str:
-    """DuckDB twin of :func:`funnel_steps` (same chained min-ts CTEs)."""
+    """DuckDB twin of :func:`funnel_steps` (same chained min-ts CTEs).
+    Step names are caller-supplied, so embedded single quotes are
+    SQL-escaped at interpolation time."""
     ctes = []
     prev = None
-    for i, st in enumerate(steps):
+    esc = [st.replace("'", "''") for st in steps]
+    for i, st in enumerate(esc):
         name = f"_fn_s{i}"
         if prev is None:
             ctes.append(
@@ -95,7 +98,7 @@ def funnel_steps_sql(
     selects = [
         f"SELECT {i + 1} AS step, '{st}' AS event_type,"
         f" (SELECT count(*) FROM _fn_s{i}) AS n_users"
-        for i, st in enumerate(steps)
+        for i, st in enumerate(esc)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
@@ -160,10 +163,14 @@ def json_field_stats(
     properties, tool-call arguments, crawl metadata ride along as JSON
     strings; the warehouse queries INTO them without a schema
     migration). Extraction stays in whole-stage codegen
-    (``get_json_object`` + try-cast: missing keys, malformed JSON, and
-    non-numeric values all degrade to NULL identically on both
-    engines), and the aggregate is exact integer arithmetic."""
-    k = F.get_json_object(F.col(props_col), f"$.{field}").try_cast("long")
+    (``get_json_object`` + an explicit integral-only regexp guard
+    before the cast: missing keys, malformed JSON, and any non-integral
+    value — including ``10.5`` / ``1e3``, where Spark's try_cast and
+    DuckDB's TRY_CAST would otherwise disagree — degrade to NULL
+    identically on both engines), and the aggregate is exact integer
+    arithmetic."""
+    s = F.get_json_object(F.col(props_col), f"$.{field}")
+    k = F.when(s.rlike(r"^\s*-?\d+\s*$"), s.try_cast("long"))
     return events.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count(k).alias("n_with_field"),
@@ -176,9 +183,17 @@ def json_field_stats(
 def json_field_stats_sql(
     rel: str = "events", field: str = "k", group_col: str = "event_type"
 ) -> str:
-    """DuckDB twin of :func:`json_field_stats` (json_extract_string +
-    TRY_CAST match Spark's null-degradation semantics)."""
-    k = f"TRY_CAST(json_extract_string(props, '$.{field}') AS BIGINT)"
+    """DuckDB twin of :func:`json_field_stats` (json_extract_string
+    behind the same integral-only regexp guard as the Spark side, so
+    fractional / scientific-notation values — where bare TRY_CAST
+    semantics differ between the engines — degrade to NULL on both;
+    the inner TRY_CAST to JSON makes malformed payloads degrade to NULL
+    too, where DuckDB's json_extract_string on VARCHAR would throw)."""
+    raw = f"json_extract_string(TRY_CAST(props AS JSON), '$.{field}')"
+    k = (
+        f"(CASE WHEN regexp_matches({raw}, '^\\s*-?\\d+\\s*$') "
+        f"THEN TRY_CAST({raw} AS BIGINT) END)"
+    )
     return f"""SELECT {group_col}, count(*) AS n_events,
                count({k}) AS n_with_field,
                min({k}) AS min_v, max({k}) AS max_v,

@@ -107,6 +107,29 @@ def _ares_key(h, w):
     return F.log(u) / w.cast("double")
 
 
+class _RevStr(str):
+    """str with inverted ordering, used as the id component of reservoir
+    heap items: inside a min-heap that keeps the "largest" items, a
+    SMALLER id compares greater and therefore survives an akey tie —
+    matching the (akey DESC, id ASC) rank the merge stage and the SQL
+    oracle use, so partition-local eviction can never drop the row the
+    global rank keeps."""
+
+    __slots__ = ()
+
+    def __lt__(self, other):  # noqa: D105
+        return str.__gt__(self, other)
+
+    def __le__(self, other):  # noqa: D105
+        return str.__ge__(self, other)
+
+    def __gt__(self, other):  # noqa: D105
+        return str.__lt__(self, other)
+
+    def __ge__(self, other):  # noqa: D105
+        return str.__le__(self, other)
+
+
 def _wrs_base(df: DataFrame, group_col: str, key_col: str, weight_col) -> DataFrame:
     wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     return (
@@ -128,9 +151,13 @@ def weighted_sample_partials(
     — a pure map stage with at most k rows of state per (partition,
     group). The priority is computed JVM-side (whole-stage codegen md5 +
     ln) before the kernel; Python only maintains the heap. The union of
-    per-partition reservoirs contains the global top-k (ties on the
-    float key are measure-zero for distinct 60-bit hashes), which is
-    what makes the merged sample exact."""
+    per-partition reservoirs contains the global top-k, which is what
+    makes the merged sample exact. Ties on the float key (possible only
+    via a 60-bit hash collision between distinct ids) are broken by
+    SMALLEST id — the same (akey DESC, id ASC) order the merge stage and
+    the SQL oracle rank by — via a reversed-comparison id wrapper, so
+    partition-local eviction can never drop the row the global rank
+    keeps."""
     import heapq
 
     import pandas as pd
@@ -139,7 +166,7 @@ def weighted_sample_partials(
     grp_type = base.schema["grp"].dataType.simpleString()
 
     def summarize(batches):
-        kept: dict = {}  # grp -> min-heap of (akey, id, w)
+        kept: dict = {}  # grp -> min-heap of (akey, _RevStr(id), w)
         for pdf in batches:
             for g, i, w, a in zip(
                 pdf["grp"].values, pdf["id"].values, pdf["w"].values, pdf["akey"].values
@@ -147,7 +174,7 @@ def weighted_sample_partials(
                 heap = kept.get(g)
                 if heap is None:
                     heap = kept[g] = []
-                item = (float(a), str(i), int(w))
+                item = (float(a), _RevStr(i), int(w))
                 if len(heap) < k:
                     heapq.heappush(heap, item)
                 elif item > heap[0]:
@@ -155,7 +182,7 @@ def weighted_sample_partials(
         yield pd.DataFrame(
             {
                 "grp": [g for g, heap in kept.items() for _ in heap],
-                "id": [i for _, heap in kept.items() for _, i, _w in heap],
+                "id": [str(i) for _, heap in kept.items() for _, i, _w in heap],
                 "w": [w for _, heap in kept.items() for _a, _i, w in heap],
                 "akey": [a for _, heap in kept.items() for a, _i, _w in heap],
             }

@@ -160,8 +160,10 @@ def bm25_topk_sql(
     from entity_extractor_spark.functions.text import TOKEN_RE, tokenize_sql
 
     tok_re = _re.compile(TOKEN_RE, _re.ASCII)
+    # query ids are caller-supplied strings — escape embedded quotes
+    # (tokens are tokenizer output and cannot contain quotes).
     qvals = ", ".join(
-        f"('{qid}', '{t}')"
+        f"""('{qid.replace("'", "''")}', '{t}')"""
         for qid, qtext in queries
         for t in sorted(set(tok_re.findall(qtext.lower())))
     )

@@ -456,6 +456,34 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert len(got) == 8
 
 
+def test_weighted_sample_heap_tiebreak_matches_merge_order():
+    """At an exact akey tie inside one partition's reservoir, eviction
+    must keep the SMALLEST id — the row the merge stage's
+    (akey DESC, id ASC) rank and the SQL oracle keep. Simulated directly
+    against the kernel's heap item ordering (`_RevStr` id wrapper),
+    since a real tie needs a 60-bit hash collision."""
+    import heapq
+
+    from entity_extractor_spark.operators.sampling import _RevStr
+
+    k = 2
+    heap: list = []
+    # three rows, identical priority, distinct ids — arrival order mixed
+    for akey, rid, w in [(-1.5, "doc_b", 3), (-1.5, "doc_c", 5), (-1.5, "doc_a", 7)]:
+        item = (akey, _RevStr(rid), w)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heappushpop(heap, item)
+    survivors = sorted(str(i) for _, i, _w in heap)
+    # global rank (akey DESC, id ASC) keeps doc_a, doc_b
+    assert survivors == ["doc_a", "doc_b"]
+    # a strictly better akey still beats any tie ordering
+    item = (-1.0, _RevStr("doc_z"), 1)
+    heapq.heappushpop(heap, item) if item > heap[0] else None
+    assert any(str(i) == "doc_z" for _, i, _w in heap)
+
+
 # --------------------------------------------------------------------------- decontamination
 
 

@@ -165,6 +165,36 @@ def test_funnel_strict_order_and_dropoff(spark):
     assert rows == {1: 3, 2: 2, 3: 1}
 
 
+def test_oracle_sql_escapes_embedded_quotes():
+    """funnel_steps_sql and bm25_topk_sql take caller-supplied strings;
+    an embedded single quote must yield valid SQL, not a syntax error
+    or a truncated literal."""
+    import duckdb
+
+    from entity_extractor_spark.operators.event_analytics import funnel_steps_sql
+    from entity_extractor_spark.operators.search import bm25_topk_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        "(1, TIMESTAMP '2024-01-01 10:00:00', 1, 'user''s view'), "
+        "(2, TIMESTAMP '2024-01-01 10:01:00', 1, 'click')"
+        ") AS v(event_id, ts, user_id, event_type)"
+    )
+    got = {
+        r[1]: r[2]
+        for r in con.execute(funnel_steps_sql(["user's view", "click"])).fetchall()
+    }
+    assert got == {"user's view": 1, "click": 1}
+
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "('d1', 'alpha beta'), ('d2', 'beta gamma')) AS v(doc_id, text)"
+    )
+    rows = con.execute(bm25_topk_sql([("q'1", "beta")], k=5)).fetchall()
+    assert {r[0] for r in rows} == {"q'1"} and len(rows) == 2
+
+
 def test_retention_cohort_triangle(spark):
     """Two users in the same Monday cohort; one returns the next week."""
     from entity_extractor_spark.operators.event_analytics import retention_cohorts
@@ -221,10 +251,33 @@ def test_json_field_stats_null_degradation(spark):
         (4, "a", "not json at all"),   # malformed
         (5, "a", '{"k": "abc"}'),      # non-numeric
         (6, "b", '{"k": -7}'),
+        (7, "a", '{"k": 10.5}'),       # fractional: NULL on BOTH engines
+        (8, "a", '{"k": 1e3}'),        # scientific: NULL on BOTH engines
     ]
     df = spark.createDataFrame(rows, "event_id long, event_type string, props string")
     got = {r["event_type"]: r for r in json_field_stats(df).collect()}
     a = got["a"]
-    assert (a["n_events"], a["n_with_field"], a["min_v"], a["max_v"], a["sum_v"]) == (5, 2, 10, 32, 42)
+    assert (a["n_events"], a["n_with_field"], a["min_v"], a["max_v"], a["sum_v"]) == (7, 2, 10, 32, 42)
     b = got["b"]
     assert (b["n_events"], b["n_with_field"], b["sum_v"]) == (1, 1, -7)
+
+    # the oracle must agree on the fractional/scientific rows (DuckDB's
+    # bare TRY_CAST would give 11 and 1000 — the regexp guard nulls both)
+    import duckdb
+
+    from entity_extractor_spark.operators.event_analytics import json_field_stats_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', '{p.replace(chr(39), chr(39) * 2)}')" for i, t, p in rows
+        )
+        + ") AS v(event_id, event_type, props)"
+    )
+    ora = {
+        r[0]: r
+        for r in con.execute(json_field_stats_sql()).fetchall()
+    }
+    assert ora["a"] == ("a", 7, 2, 10, 32, 42)
+    assert ora["b"] == ("b", 1, 1, -7, -7, -7)
