@@ -440,77 +440,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # via tools/check_contract.py at sf0.001 AND sf0.01. Rotating out:
 # keyword_hits (green r02 AND r03).
 PRIORITY_KEYS = [
-    # core SURVEY §2 set (round-1 gap: no driver row); value_counts /
-    # bool_sum / union_distinct went green in r02 and rotate out for the
-    # three late-round-3 additions (dup_clusters, repetition_signals,
-    # heavy_hitters), which have no driver history yet
-    # two_level_agg went green in r02 and rotates out for pii_scrub
-    # (round-3 addition, no driver history)
-    "mention_counts",
-    # flagship KG keys that fell outside the round-1 window
-    "cc_components", "graph_edges", "likelihood_filter", "predicate_triples",
-    # training-data curation suite (first-class per the judge); keys green
-    # in BOTH r01 and r02 rotate out for the round-3 additions:
-    # dedup_exact, minhash_signature, ngram_jaccard_pairs, simhash_pairs,
-    # ann_brute_topk, exact_mode_scan, tfidf_topk, lang_id_counts;
-    # quality_scores (green in r01 AND r02) rotates out for khop_neighbors
-    # (round-3 addition, no driver history)
-    # round-3 rotation: first-ever driver rows for the three round-2 additions
-    # plus the two retrieval-quality metrics
-    "ner_training_export", "stratified_sample", "sequence_packing_sorted",
-    "ann_recall_lsh", "ann_recall_ivf",
-    # round-3 additions: graph analytics, sketches, quantized ANN, hygiene,
-    # near-dup cluster resolution, repetition quality signals
-    "pagerank_tokens", "graph_triangles", "co_lift", "khop_neighbors",
-    "kmv_distinct",
-    "ann_sq8_topk", "contamination",
-    "dup_clusters", "repetition_signals", "heavy_hitters", "pii_scrub",
-    # round-4 rotation: first driver rows for the four post-r03-window
-    # additions plus the round-4 real image codec
-    "link_prediction", "wav_decode", "fuzzy_name_pairs", "indexed_search",
-    "bmp_decode",
-    # late-round-4 rotation: bounded-state sketch merge form, the three
-    # streaming batch-parity keys, and the real AVI video codec — first
-    # driver rows, closing the full 111-key set this round
-    "kmv_sketch", "dedup_stream_parity", "windowed_counts_parity",
-    "sessionize_parity", "avi_decode", "avi_frames",
-    # second late-round-4 rotation: the round-5 backlog pulled forward —
-    # mergeable quantile sketch (twin + bounded merge form), A-Res
-    # weighted reservoir, Bloom-pruned decontamination, streaming
-    # Misra-Gries batch parity — first driver rows
-    "quantile_sketch", "quantile_merge", "weighted_sample",
-    "contamination_bloom", "hh_stream_parity",
-    # third late-round-4 rotation (wave 3): ranked retrieval, grouped
-    # frequency sketch, unigram-LM quality scoring — first driver rows
-    "bm25_topk", "grouped_heavy_hitters", "unigram_logprob",
-    # fourth late-round-4 rotation: incremental index maintenance parity
-    # plus KMV sketch-algebra overlap estimation (kmv_overlap displaces
-    # topk_groups, green r02 AND r03)
-    "postings_stream_parity", "kmv_overlap",
-    # fifth late-round-4 rotation: event-analytics trio (ordered funnel,
-    # weekly retention cohorts, Markov transition counts) — displacing
-    # window_lag, multimodal_meta, interval_join (each green r02 AND r03)
-    "funnel_steps", "retention_cohorts", "event_transitions",
-    # sixth late-round-4 rotation: prefix-filtered EXACT Jaccard join
-    # (AllPairs/PPJoin family) proven lossless vs the quadratic oracle —
-    # displacing salted_collect (green r02 AND r03); plus deterministic
-    # synchronous label-propagation communities (integer votes,
-    # smallest-label ties, unrolled-CTE oracle) — displacing
-    # exact_token_match (green r02 AND r03)
-    "prefix_jaccard_pairs", "lpa_communities",
-    # seventh late-round-4 rotation: delta-maintained hourly rollup
-    # (incremental view maintenance via idempotent batch_id partials,
-    # summed view ≡ batch GROUP BY) — displacing composite_likelihood
-    # (green r02 AND r03)
-    "rollup_stream_parity",
-    # eighth late-round-4 rotation: semi-structured JSON payload
-    # analytics (codegen get_json_object + try_cast, NULL-degrading) —
-    # displacing mention_flags (green r01 AND r02 AND r03)
-    "json_field_stats",
-    # ninth late-round-4 rotation: within-doc Shannon token entropy
-    # (fixed-point quality signal) — displacing context_window (green
-    # r01 AND r02 AND r03)
-    "token_entropy",
+    # ROUND-5 WINDOW (final round): the driver hashes the FIRST 50
+    # queries() entries. Cumulatively all 124 contract keys are green
+    # (>=1 driver row each, see CORRECTNESS_r01..r04 + README rotation
+    # log); this round's window gives a SECOND independent green row to
+    # every key that had exactly one, preferring the round-4 wave
+    # additions (single green in r04) first, then the r02-era singles,
+    # then 16 of the 29 r01-era singles chosen so each SURVEY §2 row
+    # whose correctness rests SOLELY on one single-green key gets its
+    # second row. Plus ann_ivf_trained (NEW this round: trained
+    # k-means IVF bank embedded as plan literals, oracle trains the
+    # bit-identical bank via the sessionless twin).
+    #
+    # --- 29 round-4 wave keys (each green exactly once, in r04) ---
+    "avi_decode", "avi_frames", "bm25_topk", "bmp_decode",
+    "contamination_bloom", "dedup_stream_parity", "event_transitions",
+    "funnel_steps", "fuzzy_name_pairs", "grouped_heavy_hitters",
+    "hh_stream_parity", "indexed_search", "json_field_stats",
+    "kmv_overlap", "kmv_sketch", "link_prediction", "lpa_communities",
+    "postings_stream_parity", "prefix_jaccard_pairs", "quantile_merge",
+    "quantile_sketch", "retention_cohorts", "rollup_stream_parity",
+    "sessionize_parity", "token_entropy", "unigram_logprob",
+    "wav_decode", "weighted_sample", "windowed_counts_parity",
+    # --- NEW round-5 key: trained-centroid IVF recall gate ---
+    "ann_ivf_trained",
+    # --- 4 r02-era singles ---
+    "bool_sum", "two_level_agg", "union_distinct", "value_counts",
+    # --- 16 r01-era singles: every §2 row resting solely on one
+    # single-green key (S9/J6 delta_merge, J3 inverted_index, J5
+    # pos_zip_join, J7/X4 set_classify, U4 patch_append, P6/P8
+    # facet_filter, A1 count_distinct, A9 distinct_sorted, A13
+    # avg_text_len, O5/F14 autocomplete_rank, F3 canonical_names, F5
+    # char_window, F6 normalize_digest, F7 url_keys, F10
+    # sliding_chunks) plus flagship alias_mention_counts. The 13
+    # r01-era singles left out (det_sample, embedding_dups,
+    # graph_degree, ntile_buckets, pivot_counts, profile_table,
+    # quantile_calib, rolling_window, rollup_agg, sessionize,
+    # span_find, substring_search, time_buckets) each have a sibling
+    # key green in r04 covering the same operator family ---
+    "alias_mention_counts", "autocomplete_rank", "avg_text_len",
+    "canonical_names", "char_window", "count_distinct", "delta_merge",
+    "distinct_sorted", "facet_filter", "inverted_index",
+    "normalize_digest", "patch_append", "pos_zip_join", "set_classify",
+    "sliding_chunks", "url_keys",
 ]
 
 

@@ -160,6 +160,30 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_recall(approx, exact, ANN_K).orderBy("query_id")
 
 
+IVF_TRAIN_SAMPLE = 2048
+IVF_TRAIN_ITERS = 8
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of the TRAINED-bank IVF index (deterministic
+    k-means centroids fitted on a content-hash-ordered sample,
+    `operators/simsearch.py:train_centroids`) vs exact brute force —
+    the production IVF recipe as a hash-verified contract value. The
+    oracle trains the bit-identical bank via the sessionless twin
+    (`train_centroids_local`) and embeds it as SQL literals, exactly as
+    the engine embeds it as plan literals."""
+    from entity_extractor_spark.operators.ann_eval import topk_recall
+
+    e = _load(spark, sf_dir, "embeddings")
+    cents = S.train_centroids(
+        e, dim=EMB_DIM, sample_size=IVF_TRAIN_SAMPLE, n_iters=IVF_TRAIN_ITERS
+    )
+    q = e.filter(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    approx = S.ivf_topk(e, q, dim=EMB_DIM, k=ANN_K, centroids=cents)
+    exact = S.brute_force_topk(e, q, k=ANN_K)
+    return topk_recall(approx, exact, ANN_K).orderBy("query_id")
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entity_extractor_spark.operators.tfidf import tfidf_topk
 
@@ -675,6 +699,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_recall_lsh": q_ann_recall_lsh,
     "ann_recall_ivf": q_ann_recall_ivf,
+    "ann_ivf_trained": q_ann_ivf_trained,
     "tfidf_topk": q_tfidf_topk,
     "lang_id_counts": q_lang_id_counts,
     "quality_scores": q_quality_scores,
@@ -839,6 +864,78 @@ _ANN_TAIL = f"""
           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
           FROM s
         ) WHERE rank <= {ANN_K} ORDER BY query_id, rank"""
+
+
+def _ann_ivf_trained_cte() -> str:
+    """Trained-bank IVF oracle CTE chain (b/qs/qp/s): same shape as
+    :func:`_ann_ivf_cte`, but the per-centroid score is the learned
+    nearest-Euclidean form over the bank trained by
+    `train_centroids_local` on the SAME embeddings parquet the views
+    point at (TEST_SF_DIR; default = the driver's sf0.01)."""
+    import os
+
+    sf_dir = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.01")
+    cents = S.train_centroids_local(
+        f"{sf_dir}/embeddings.parquet",
+        sample_size=IVF_TRAIN_SAMPLE,
+        n_iters=IVF_TRAIN_ITERS,
+    )
+    cs_emb = S.centroid_scores_learned_sql("embedding", cents)
+    return f"""
+        b AS (
+          SELECT vec_id, embedding,
+                 CAST(list_position(cs, list_aggregate(cs, 'max')) - 1 AS INT) AS cell
+          FROM (SELECT vec_id, embedding, {cs_emb} AS cs FROM embeddings)
+        ),
+        qs AS (
+          SELECT vec_id AS query_id, embedding AS qv, {cs_emb} AS qsc
+          FROM embeddings WHERE vec_id < {ANN_QUERY_MAX_ID}
+        ),
+        qp AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT query_id, qv, CAST(cid AS INT) AS cell,
+                   row_number() OVER (PARTITION BY query_id ORDER BY qsc[cid + 1] DESC, cid) AS rn
+            FROM qs, unnest(range(0, {S.N_CENTROIDS})) u(cid)
+          ) WHERE rn <= {S.N_PROBE}
+        ),
+        s AS (
+          SELECT qp.query_id, b.vec_id AS neighbor_id,
+                 round({S.cosine_sql('qp.qv', 'b.embedding')}, 6) AS cos
+          FROM b JOIN qp ON b.cell = qp.cell AND b.vec_id <> qp.query_id
+        )"""
+
+
+def _ann_recall_ivf_trained_sql() -> str:
+    """Oracle for `ann_ivf_trained`: trained-bank IVF candidate chain +
+    exact brute-force chain, joined into per-query recall@k — the same
+    tail as :func:`_ann_recall_ivf_sql`."""
+    ex_cos = S.cosine_sql("q2.qv", "e.embedding")
+    return f"""
+        WITH {_ann_ivf_trained_cte()},
+        ivf_k AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM s
+          ) WHERE rank <= {ANN_K}
+        ),
+        ex_s AS (
+          SELECT q2.query_id, e.vec_id AS neighbor_id, round({ex_cos}, 6) AS cos
+          FROM embeddings e CROSS JOIN
+               (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id < {ANN_QUERY_MAX_ID}) q2
+          WHERE e.vec_id <> q2.query_id
+        ),
+        ex_k AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM ex_s
+          ) WHERE rank <= {ANN_K}
+        )
+        SELECT ex_k.query_id AS query_id,
+               CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / {ANN_K} AS recall
+        FROM ex_k LEFT JOIN ivf_k l
+          ON l.query_id = ex_k.query_id AND l.neighbor_id = ex_k.neighbor_id
+        GROUP BY ex_k.query_id ORDER BY query_id"""
 
 
 def _ann_recall_ivf_sql() -> str:
@@ -1059,6 +1156,7 @@ def _oracles() -> dict[str, str]:
         "ann_ivf_topk": f"WITH {_ann_ivf_cte()} {_ANN_TAIL}",
         "ann_recall_lsh": _ann_recall_lsh_sql(),
         "ann_recall_ivf": _ann_recall_ivf_sql(),
+        "ann_ivf_trained": _ann_recall_ivf_trained_sql(),
         "tfidf_topk": __import__(
             "entity_extractor_spark.operators.tfidf", fromlist=["tfidf_topk_sql"]
         ).tfidf_topk_sql(TFIDF_QUERY_IDS, ANN_K),

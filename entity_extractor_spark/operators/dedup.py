@@ -221,6 +221,7 @@ def prefix_jaccard_pairs(
     n: int = 3,
     t_num: int = 4,
     t_den: int = 5,
+    max_prefix_df: int | None = None,
 ) -> DataFrame:
     """EXACT shingle-Jaccard pairs >= t (= t_num/t_den) via prefix
     filtering (Bayardo et al. WWW'07 AllPairs / Chaudhuri et al.
@@ -245,7 +246,20 @@ def prefix_jaccard_pairs(
 
     The contract oracle is the naive O(N²) quadratic join — the hash
     match proves the prefix filter loses no pair (same discipline as
-    `fuzzy_name_pairs`)."""
+    `fuzzy_name_pairs`).
+
+    ``max_prefix_df`` is the hot-shingle guard for boilerplate-heavy
+    corpora (the same role ``max_bucket`` plays in :func:`lsh_pairs`):
+    a shingle shared by more than ``max_prefix_df`` docs — licence
+    headers, templated preambles — would otherwise drag a near-quadratic
+    posting list into the candidate join even when it ranks into some
+    prefixes. With the cap set, candidate generation skips those
+    shingles; the verify step is unchanged (still exact Jaccard, no
+    false positives), but a pair whose ONLY shared prefix shingle is
+    capped is missed, so the operator is recall-bounded rather than
+    lossless while the cap binds. :func:`prefix_jaccard_pairs_sql`
+    mirrors the cap so the contract hash still proves the exact
+    semantics of the documented cut. Default ``None`` = lossless."""
     sh = docs.select(
         F.col(id_col).alias("i"),
         F.explode(
@@ -266,7 +280,10 @@ def prefix_jaccard_pairs(
     need = F.floor(
         (F.lit(t_num) * F.col("sz") + F.lit(t_den - 1)) / F.lit(t_den)
     ).cast("long")
-    prefix = ranked.filter(F.col("r") <= F.col("sz") - need + 1).select("i", "sh")
+    prefix = ranked.filter(F.col("r") <= F.col("sz") - need + 1)
+    if max_prefix_df is not None:
+        prefix = prefix.filter(F.col("_df") <= max_prefix_df)
+    prefix = prefix.select("i", "sh")
     cand = (
         prefix.join(prefix.select(F.col("i").alias("j"), "sh"), "sh")
         .filter(F.col("i") < F.col("j"))
@@ -291,14 +308,58 @@ def prefix_jaccard_pairs(
 
 
 def prefix_jaccard_pairs_sql(
-    rel: str = "documents", n: int = 3, t_num: int = 4, t_den: int = 5
+    rel: str = "documents",
+    n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+    max_prefix_df: int | None = None,
 ) -> str:
     """Ground-truth quadratic oracle for :func:`prefix_jaccard_pairs`:
     every doc pair, exact list-intersection Jaccard, same integer
     threshold — no prefix filter, so the hash match proves
-    losslessness."""
+    losslessness.
+
+    With ``max_prefix_df`` set, the quadratic pair set is additionally
+    intersected with the capped-prefix candidate condition (a shared
+    shingle that ranks into BOTH prefixes and has document frequency
+    <= cap) — the exact recall cut the engine's guard makes, expressed
+    independently over the same quadratic base."""
     toks = T.tokenize_sql("text")
     shl = T.word_shingles_sql("ts", n)
+    if max_prefix_df is not None:
+        return f"""WITH _pj_t AS (SELECT doc_id, {toks} AS ts FROM {rel}),
+        _pj_s AS (
+          SELECT doc_id,
+                 list_sort(list_distinct(CASE WHEN len(ts) >= {n} THEN {shl} ELSE [] END)) AS arr
+          FROM _pj_t
+        ),
+        _pj_e AS (SELECT doc_id AS i, unnest(arr) AS sh FROM _pj_s),
+        _pj_df AS (SELECT sh, count(*) AS df FROM _pj_e GROUP BY sh),
+        _pj_r AS (
+          SELECT i, sh, df,
+                 row_number() OVER (PARTITION BY i ORDER BY df, sh) AS r,
+                 count(*) OVER (PARTITION BY i) AS sz
+          FROM _pj_e JOIN _pj_df USING (sh)
+        ),
+        _pj_pre AS (
+          SELECT i, sh FROM _pj_r
+          WHERE r <= sz - (({t_num} * sz + {t_den - 1}) // {t_den}) + 1
+            AND df <= {max_prefix_df}
+        ),
+        _pj_cand AS (
+          SELECT DISTINCT a.i AS i, b.i AS j
+          FROM _pj_pre a JOIN _pj_pre b USING (sh) WHERE a.i < b.i
+        ),
+        _pj_p AS (
+          SELECT c.i, c.j,
+                 len(list_intersect(a.arr, b.arr)) AS inter,
+                 len(a.arr) + len(b.arr) - len(list_intersect(a.arr, b.arr)) AS uni
+          FROM _pj_cand c
+          JOIN _pj_s a ON a.doc_id = c.i
+          JOIN _pj_s b ON b.doc_id = c.j
+        )
+        SELECT i, j, round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jaccard
+        FROM _pj_p WHERE inter * {t_den} >= {t_num} * uni"""
     return f"""WITH _pj_t AS (SELECT doc_id, {toks} AS ts FROM {rel}),
         _pj_s AS (
           SELECT doc_id,

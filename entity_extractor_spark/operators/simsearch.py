@@ -313,6 +313,13 @@ def train_centroids(
         .limit(sample_size)
     )
     X = np.array([list(r["_v"]) for r in s.collect()], dtype=np.float64)
+    return _lloyd(X, n_centroids, n_iters)
+
+
+def _lloyd(X, n_centroids: int, n_iters: int) -> list[list[float]]:
+    """Deterministic Lloyd iterations shared by the Spark-sampled and
+    local (oracle-side) trainers — identical float64 ops on an identical
+    sample produce a bit-identical bank."""
     if len(X) < n_centroids:
         raise ValueError(f"sample ({len(X)}) smaller than n_centroids ({n_centroids})")
     C = X[:n_centroids].copy()
@@ -324,6 +331,37 @@ def train_centroids(
             if len(members):
                 C[c] = members.mean(axis=0)
     return [[float(v) for v in row] for row in C]
+
+
+def train_centroids_local(
+    parquet_path: str,
+    n_centroids: int = N_CENTROIDS,
+    sample_size: int = 2048,
+    n_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Driver-/oracle-side twin of :func:`train_centroids`: same
+    content-hash sample order (md5 of the id string — what Spark's
+    ``md5(cast(id as string))`` computes), same float32→float64
+    widening, same Lloyd loop — so the returned bank is bit-identical
+    to the Spark-sampled one on the same table. Exists so an oracle can
+    embed the SAME plan literals the engine trains, without a Spark
+    session."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_pylist()
+    vecs = t.column(vec_col).to_pylist()
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: hashlib.md5(str(ids[i]).encode()).hexdigest(),
+    )[:sample_size]
+    X = np.array([vecs[i] for i in order], dtype=np.float64)
+    return _lloyd(X, n_centroids, n_iters)
 
 
 def ivf_topk(
@@ -406,6 +444,27 @@ def centroid_scores_sql(vec: str, dim: int, n_centroids: int = N_CENTROIDS) -> s
         dot_sql(vec, "[" + ", ".join(f"{v:.1f}" for v in c) + "]") for c in cents
     )
     return f"[{dots}]"
+
+
+def centroid_scores_learned_sql(vec: str, centroids: list[list[float]]) -> str:
+    """DuckDB twin of :func:`centroid_scores` with a LEARNED bank: the
+    nearest-Euclidean score ``dot(v, c) - |c|^2 / 2`` per centroid.
+    Literals are emitted with ``repr`` (shortest round-trip) FORCED to
+    scientific notation: DuckDB types a bare decimal literal as
+    DECIMAL, whose conversion to DOUBLE drops bits (~5% of random
+    doubles measured); an exponent-suffixed literal is parsed directly
+    as the exact DOUBLE Spark's ``F.lit`` carries."""
+
+    def dlit(v: float) -> str:
+        r = repr(float(v))
+        return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+
+    scores = []
+    for c in centroids:
+        half_sq = sum(v * v for v in c) / 2.0
+        lit = "[" + ", ".join(dlit(v) for v in c) + "]"
+        scores.append(f"({dot_sql(vec, lit)} - {dlit(half_sq)})")
+    return "[" + ", ".join(scores) + "]"
 
 
 def embedding_near_dups(

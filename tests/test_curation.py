@@ -149,6 +149,40 @@ def test_ivf_learned_centroids_beat_fixed_bank(spark):
     e.unpersist()
 
 
+def test_train_centroids_local_twin_bit_identical(spark):
+    """The sessionless oracle-side trainer must reproduce the Spark
+    trainer's bank to the last bit (same md5 sample order, same
+    float32→float64 widening, same Lloyd loop) — what lets
+    `ann_ivf_trained`'s oracle embed the engine's plan literals."""
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = S.train_centroids(e, dim=64, sample_size=256, n_iters=8)
+    b = S.train_centroids_local(
+        f"{SF_DIR}/embeddings.parquet", sample_size=256, n_iters=8
+    )
+    assert a == b
+
+    # and the learned-score SQL emitter round-trips every literal as an
+    # exact DOUBLE (bare decimals would be typed DECIMAL and drop bits)
+    import duckdb
+
+    from entity_extractor_spark.operators.simsearch import (
+        centroid_scores_learned_sql,
+    )
+
+    sql = centroid_scores_learned_sql("v", a[:2])
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {sql} FROM (SELECT list_prepend(CAST(1.0 AS DOUBLE), "
+        f"[CAST(0.25 AS DOUBLE) FOR _ IN range(63)]) AS v)"
+    ).fetchone()[0]
+    import numpy as np
+
+    vec = np.array([1.0] + [0.25] * 63)
+    for c, g in zip(a[:2], got):
+        want = float(np.dot(vec, np.array(c, dtype=np.float64)) - np.dot(c, c) / 2.0)
+        assert abs(g - want) < 1e-9
+
+
 def test_ann_recall_adversarial_floor_and_limits(spark):
     """Part 2: the driver embeddings are near-random (5th-NN cosine
     ≈ 0.3) — the worst case for any ANN index, where recall ≈ fraction
@@ -763,3 +797,60 @@ def test_prefix_jaccard_lossless_and_fewer_candidates(spark):
         .count()
     )
     assert prefix_fanout < full_fanout / 4
+
+
+def test_prefix_jaccard_df_cap_boundary(spark):
+    """max_prefix_df guard: candidates through hot shingles are skipped
+    — the capped Spark result must equal the capped SQL mirror exactly
+    (both sides make the SAME documented recall cut), the cap must
+    actually bind on this corpus (a boilerplate-only pair disappears),
+    and unaffected pairs must survive."""
+    import duckdb
+
+    from entity_extractor_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+        prefix_jaccard_pairs_sql,
+    )
+
+    # 6 docs that are near-identical pure boilerplate (every shingle has
+    # df >= 6) + one genuinely unique near-dup pair (rare shingles).
+    boiler = "shared license header text repeated across the corpus body"
+    rows = [(i, f"{boiler} tail{i}") for i in range(6)]
+    rows += [(100, "zq unique sentence about wombats eating roots at dawn"),
+             (101, "zq unique sentence about wombats eating roots at dusk")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    lossless = {
+        (r["i"], r["j"]) for r in prefix_jaccard_pairs(docs, t_num=1, t_den=2).collect()
+    }
+    capped = {
+        (r["i"], r["j"])
+        for r in prefix_jaccard_pairs(docs, t_num=1, t_den=2, max_prefix_df=3).collect()
+    }
+    # the guard binds: boilerplate clone pairs exist losslessly but are
+    # cut when their only shared prefix shingles exceed the cap
+    assert any(i < 100 and j < 100 for i, j in lossless)
+    assert not any(i < 100 and j < 100 for i, j in capped)
+    # the rare-shingle pair is unaffected
+    assert (100, 101) in capped
+
+    # both engines make the identical cut
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS v(doc_id, text)"
+    )
+    ora = {
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            prefix_jaccard_pairs_sql("documents", t_num=1, t_den=2, max_prefix_df=3)
+        ).fetchall()
+    }
+    got = {
+        (r["i"], r["j"], r["jaccard"])
+        for r in prefix_jaccard_pairs(
+            docs, t_num=1, t_den=2, max_prefix_df=3
+        ).collect()
+    }
+    assert got == ora and got

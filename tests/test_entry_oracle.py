@@ -14,6 +14,9 @@ import __spark_entry__ as entry_mod
 from entity_extractor_spark.io.sources import TPCH_TABLES
 
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+# export the resolved dir so sf-aware oracle generation (ann_ivf_trained)
+# trains from the same parquet the DuckDB views read
+os.environ["TEST_SF_DIR"] = SF_DIR
 
 
 @pytest.fixture(scope="module")

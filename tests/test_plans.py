@@ -428,3 +428,75 @@ def test_contamination_bloom_probe_is_vectorized_prefilter(spark):
     assert "CartesianProduct" not in plan, plan
     for cols in P.read_schemas(plan):
         assert set(cols) <= {"doc_id", "text"}, plan
+
+
+def test_prefix_jaccard_candidate_join_is_equi_on_shingle(spark):
+    """AllPairs/PPJoin candidate generation must stay an EQUI join on
+    the prefix shingle (posting-list intersection) — never a cartesian
+    or broadcast nested-loop pair enumeration. Red if someone rewrites
+    the candidate step as a theta join."""
+    from entity_extractor_spark.operators.dedup import prefix_jaccard_pairs
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = P.formatted_plan(prefix_jaccard_pairs(d))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the candidate join's equi key is the shingle column
+    key_lines = [ln for ln in plan.splitlines() if "Left keys" in ln]
+    assert any("[sh#" in ln for ln in key_lines), plan
+    # capped form keeps the identical join shape
+    planc = P.formatted_plan(prefix_jaccard_pairs(d, max_prefix_df=100))
+    assert "CartesianProduct" not in planc and "BroadcastNestedLoopJoin" not in planc, planc
+
+
+def test_bm25_query_vocab_filter_is_map_side(spark):
+    """The query-vocabulary `isin` filter must execute BELOW the first
+    Exchange (formatted-plan node ids are post-order: leaves smallest),
+    so only (doc, query-term) postings ever transit a shuffle — the
+    plan property that keeps BM25 viable when the corpus vocabulary is
+    ~10^9 terms and the query vocabulary is ~10^1."""
+    import re
+
+    from entity_extractor_spark.operators.search import bm25_topk
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = P.formatted_plan(bm25_topk(d, [("q1", "alpha beta"), ("q2", "gamma")]))
+    isin_ids = [
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) Filter(?: \[codegen id : \d+\])?\nInput.*\nCondition : (.*)",
+            plan,
+        )
+        if " IN (alpha,beta,gamma)" in m.group(2)
+    ]
+    ex_ids = [int(x) for x in re.findall(r"\((\d+)\) Exchange", plan)]
+    assert isin_ids and ex_ids, plan
+    assert min(isin_ids) < min(ex_ids), (isin_ids, ex_ids, plan)
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_lpa_one_bounded_exchange_set_per_round(spark):
+    """Label propagation's per-round plan cost must stay CONSTANT: each
+    extra iteration adds exactly the same small number of exchanges
+    (the vote join + the per-node majority groupBy), and the default
+    `_cut` (localCheckpoint) path truncates lineage so iteration N's
+    physical plan does not re-derive rounds 1..N-1 from the raw edges."""
+    from entity_extractor_spark.operators.graph_algos import label_propagation
+
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "d", 2)], "i string, j string, w long"
+    )
+    n1 = P.count_exchanges(P.formatted_plan(label_propagation(e, iters=1, checkpoint=False)))
+    n2 = P.count_exchanges(P.formatted_plan(label_propagation(e, iters=2, checkpoint=False)))
+    n3 = P.count_exchanges(P.formatted_plan(label_propagation(e, iters=3, checkpoint=False)))
+    per_round = n2 - n1
+    assert n3 - n2 == per_round, (n1, n2, n3)
+    # one vote join + one majority groupBy + the deterministic
+    # smallest-label tie-break per round — measured 8 exchanges/round on
+    # Spark 4.1; red if a rewrite makes the growth super-linear or adds
+    # a shuffle to the round body
+    assert per_round <= 8, (n1, n2, n3)
+    # the production path cuts lineage: the checkpointed 3-iter plan is
+    # no deeper than one round over materialized inputs
+    plc = P.formatted_plan(label_propagation(e, iters=3, checkpoint=True))
+    assert P.count_exchanges(plc) <= per_round + 2, plc

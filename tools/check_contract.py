@@ -15,6 +15,10 @@ import duckdb
 from entity_extractor_spark.contract.compare import compare_frames as compare
 
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+# export the resolved dir so sf-aware oracle generation (ann_ivf_trained
+# trains its centroid bank from the same parquet the views read) agrees
+# with the views even when the caller relied on the default
+os.environ["TEST_SF_DIR"] = SF_DIR
 
 
 def main():
