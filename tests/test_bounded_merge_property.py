@@ -117,3 +117,46 @@ def test_prefix_jaccard_equals_naive_on_random_docs(spark, docs):
         if r["jaccard"] >= 0.5
     }
     assert got == naive
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdef"), min_size=3, max_size=10
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=12,
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+def test_prefix_jaccard_cap_matches_mirrored_oracle(spark, docs, cap):
+    """With max_prefix_df set, the engine's recall cut must equal the
+    capped SQL mirror EXACTLY on arbitrary corpora — same shingle df
+    ranking, same prefix boundary, same cap — for every cap value from
+    always-binding (1) to never-binding."""
+    import duckdb
+
+    from entity_extractor_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+        prefix_jaccard_pairs_sql,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r["i"], r["j"], r["jaccard"])
+        for r in prefix_jaccard_pairs(df, t_num=1, t_den=2, max_prefix_df=cap).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in enumerate(docs))
+        + ") AS v(doc_id, text)"
+    )
+    ora = {
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            prefix_jaccard_pairs_sql("documents", t_num=1, t_den=2, max_prefix_df=cap)
+        ).fetchall()
+    }
+    assert got == ora
