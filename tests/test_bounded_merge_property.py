@@ -160,3 +160,29 @@ def test_prefix_jaccard_cap_matches_mirrored_oracle(spark, docs, cap):
         ).fetchall()
     }
     assert got == ora
+
+
+def test_weighted_sample_tie_eviction_matches_global_rank(spark, monkeypatch):
+    """The ADVICE-flagged boundary: an exact akey tie between distinct
+    ids at the reservoir boundary. Real ties need a 60-bit hash
+    collision, so force one by pinning the priority to a constant —
+    EVERY row then ties, and partition-local eviction (k=2, 6 rows per
+    partition) must keep the same ids the global (akey DESC, id ASC)
+    rank keeps: the lexicographically SMALLEST. Before the _RevStr fix
+    the partition heap kept the largest ids and this test goes red."""
+    from entity_extractor_spark.operators import sampling
+
+    monkeypatch.setattr(sampling, "_ares_key", lambda h, w: F.lit(0.0))
+    rows = [("g", f"id{i:02d}", 10) for i in range(12)] + [
+        ("h", f"id{i:02d}", 3) for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id string, w long")
+    got = {
+        (r["grp"], r["id"])
+        for r in sampling.weighted_sample(
+            df.repartition(2), "grp", "id", "w", k=2
+        ).collect()
+    }
+    assert got == {
+        ("g", "id00"), ("g", "id01"), ("h", "id00"), ("h", "id01"),
+    }

@@ -500,3 +500,25 @@ def test_lpa_one_bounded_exchange_set_per_round(spark):
     # no deeper than one round over materialized inputs
     plc = P.formatted_plan(label_propagation(e, iters=3, checkpoint=True))
     assert P.count_exchanges(plc) <= per_round + 2, plc
+
+
+def test_ivf_trained_bank_stays_plan_literals(spark):
+    """A learned centroid bank must embed exactly like the fixed bank:
+    identical exchange / scan / join counts in the physical plan — no
+    centroid table scan, no extra shuffle, no new join. Training changes
+    WHERE rows land (cell assignment), never how the plan scales."""
+    from entity_extractor_spark.operators.simsearch import ivf_topk, train_centroids
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    bank = train_centroids(e, dim=64, n_centroids=16, sample_size=64)
+    fixed = P.formatted_plan(ivf_topk(e, q, dim=64))
+    trained = P.formatted_plan(ivf_topk(e, q, dim=64, centroids=bank))
+    assert "CartesianProduct" not in trained, trained
+    assert "BroadcastNestedLoopJoin" not in trained, trained
+    for tok in ("Exchange", "Scan parquet", "Join"):
+        assert fixed.count(tok) == trained.count(tok), (
+            tok,
+            fixed.count(tok),
+            trained.count(tok),
+        )
