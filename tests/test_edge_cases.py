@@ -95,3 +95,79 @@ def test_distributed_corpus_exact_parity(spark):
     assert len(oracle) > 100
     p, r = precision_recall(engine, oracle, KEYS)
     assert p == 1.0 and r == 1.0, (p, r)
+
+
+def test_bm25_query_with_no_corpus_hits_returns_empty(spark):
+    """A query whose tokens appear in no document must produce zero
+    rows (never an error or NaN scores) — at web scale dead queries are
+    routine and must cost one map-side filter, not a failed job."""
+    from entity_extractor_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark streams data"), (2, "graphs join tables")],
+        "doc_id long, text string",
+    )
+    assert bm25_topk(docs, [("q", "zzz qqq")], k=5).count() == 0
+
+
+def test_funnel_no_user_reaches_later_steps(spark):
+    """When no user performs step 2, its count must be 0 (row present),
+    and step-1 counts unaffected."""
+    from entity_extractor_spark.operators.event_analytics import funnel_steps
+
+    ev = spark.createDataFrame(
+        [("u1", "2026-01-01 10:00:00", "view"), ("u2", "2026-01-01 11:00:00", "view")],
+        "user_id string, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["event_type"]: r["n_users"]
+        for r in funnel_steps(ev, ["view", "buy"]).collect()
+    }
+    assert got == {"view": 2, "buy": 0}
+
+
+def test_retention_single_user_single_event(spark):
+    """One user, one event: exactly one (cohort, offset-0) row of size 1."""
+    from entity_extractor_spark.operators.event_analytics import retention_cohorts
+
+    ev = spark.createDataFrame(
+        [("u1", "2026-01-07 10:00:00")], "user_id string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = retention_cohorts(ev).collect()
+    assert len(rows) == 1
+    assert rows[0]["week_offset"] == 0 and rows[0]["n_users"] == 1
+
+
+def test_event_transitions_single_event_users_emit_nothing(spark):
+    """Users with one event have no (prev, next) pair — no rows, no
+    nulls leaking into the transition matrix."""
+    from entity_extractor_spark.operators.event_analytics import event_transitions
+
+    ev = spark.createDataFrame(
+        [("u1", "2026-01-01 10:00:00", "view", 1), ("u2", "2026-01-01 11:00:00", "buy", 2)],
+        "user_id string, ts string, event_type string, event_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert event_transitions(ev).count() == 0
+
+
+def test_prefix_jaccard_short_docs_no_shingles(spark):
+    """Docs shorter than the shingle width contribute no shingles and
+    therefore no pairs — and must not crash candidate generation."""
+    from entity_extractor_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "hi"), (2, "hi"), (3, "one two three four five")],
+        "doc_id long, text string",
+    )
+    assert prefix_jaccard_pairs(docs, n=3, t_num=1, t_den=2).count() == 0
+
+
+def test_weighted_sample_k_exceeds_group_size(spark):
+    """k larger than the group keeps every row exactly once."""
+    from entity_extractor_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [("g", "a", 5), ("g", "b", 1)], "grp string, id string, w long"
+    )
+    got = sorted(r["id"] for r in weighted_sample(df, "grp", "id", "w", k=10).collect())
+    assert got == ["a", "b"]
