@@ -171,3 +171,43 @@ def test_weighted_sample_k_exceeds_group_size(spark):
     )
     got = sorted(r["id"] for r in weighted_sample(df, "grp", "id", "w", k=10).collect())
     assert got == ["a", "b"]
+
+
+def test_quantile_sketch_single_row_group(spark):
+    """A one-row group: every quantile (exact AND sample-estimate) is
+    that row's value — the nearest-rank floor case."""
+    from entity_extractor_spark.operators.sketches import quantile_sketch
+
+    df = spark.createDataFrame([("g", "k1", 7)], "grp string, id string, v long")
+    r = quantile_sketch(df, "grp", "v", "id", k=8).collect()[0]
+    assert (r["n_rows"], r["q50_exact"], r["q90_exact"]) == (1, 7, 7)
+    assert (r["q50_est"], r["q90_est"]) == (7, 7)
+
+
+def test_heavy_hitters_uniform_corpus_is_empty(spark):
+    """All-unique tokens at 50% support: no token qualifies, zero rows
+    (the Misra-Gries candidate pass must not fabricate candidates)."""
+    from entity_extractor_spark.operators.sketches import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}a tok{i}b tok{i}c") for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert heavy_hitters(docs, support=0.5).count() == 0
+
+
+def test_contamination_disjoint_corpora_all_clean(spark):
+    """Train and benchmark with zero shared shingles: every train doc is
+    reported and none is contaminated."""
+    from entity_extractor_spark.operators.decontam import contamination_report
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six")], "doc_id long, text string"
+    )
+    rows = contamination_report(train, bench).collect()
+    assert len(rows) == 2
+    assert all(r["n_shared_shingles"] == 0 and not r["contaminated"] for r in rows)
