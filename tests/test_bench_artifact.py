@@ -56,3 +56,20 @@ def test_emit_shrinks_rather_than_truncates(tmp_path, capsys):
         payload.get("detail") == "BENCH_DETAIL_LAST.json"
         and payload["value"] > 0
     )
+
+
+def test_plan_census_allowlist_keys_exist():
+    """Every key in the census cartesian allowlist must still be a
+    contract query — a rename would otherwise silently un-adjudicate a
+    by-design cartesian and the census would start failing as
+    'unexpected'."""
+    spec = importlib.util.spec_from_file_location(
+        "plan_census", "/root/repo/tools/plan_census.py"
+    )
+    census = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(census)
+    spec2 = importlib.util.spec_from_file_location("se", "/root/repo/__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(entry)
+    missing = set(census.CARTESIAN_BY_DESIGN) - set(entry.queries())
+    assert not missing, f"allowlisted keys no longer in queries(): {missing}"
